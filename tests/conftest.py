@@ -5,7 +5,10 @@ multi-device tests run on CPU with xla_force_host_platform_device_count).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session env pins JAX_PLATFORMS to the TPU tunnel ("axon"),
+# but tests must run on the simulated multi-device CPU mesh.
+if not os.environ.get("AUDIOSSL_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,120 @@
+"""Ops: crop-resize vs torch bicubic, windowing, running-norm recursion."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from audiossl_tpu.ops.resize import crop_resize_2d, random_resize_crop
+from audiossl_tpu.ops.stats import running_norm_apply, running_norm_init, normalize_batch
+from audiossl_tpu.ops.windowing import extract_window, extract_window_np
+
+RNG = np.random.default_rng(1)
+
+
+class TestCropResize:
+    @pytest.mark.parametrize("box", [(0, 0, 96, 144), (3, 10, 50, 80), (0, 0, 64, 96), (5, 7, 80, 120), (2, 2, 1, 1)])
+    def test_matches_torch_bicubic(self, box):
+        canvas = RNG.standard_normal((1, 96, 144)).astype(np.float32)
+        i, j, h, w = box
+        ours = np.asarray(
+            crop_resize_2d(jnp.asarray(canvas), tuple(jnp.asarray(v) for v in box), (64, 96))
+        )
+        crop = torch.tensor(canvas[:, i : i + h, j : j + w])
+        ref = F.interpolate(crop.unsqueeze(0), size=(64, 96), mode="bicubic", align_corners=True)
+        np.testing.assert_allclose(ours, ref.squeeze(0).numpy(), atol=2e-4)
+
+    def test_upscale_matches_torch(self):
+        canvas = RNG.standard_normal((1, 40, 60)).astype(np.float32)
+        box = (0, 0, 40, 60)
+        ours = np.asarray(
+            crop_resize_2d(jnp.asarray(canvas), tuple(jnp.asarray(v) for v in box), (64, 96))
+        )
+        ref = F.interpolate(
+            torch.tensor(canvas).unsqueeze(0), size=(64, 96), mode="bicubic", align_corners=True
+        )
+        np.testing.assert_allclose(ours, ref.squeeze(0).numpy(), atol=2e-4)
+
+    def test_random_resize_crop_shape_and_determinism(self):
+        lms = jnp.asarray(RNG.standard_normal((1, 64, 96)).astype(np.float32))
+        key = jax.random.key(3)
+        out1 = random_resize_crop(lms, key)
+        out2 = random_resize_crop(lms, key)
+        assert out1.shape == (1, 64, 96)
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+        out3 = random_resize_crop(lms, jax.random.key(4))
+        assert np.abs(np.asarray(out1) - np.asarray(out3)).max() > 1e-3
+
+
+class TestWindowing:
+    def test_pad_short(self):
+        wave = np.ones(10, np.float32)
+        out = extract_window_np(wave, 16, RNG)
+        assert out.shape == (16,)
+        # length_adj=6 -> 3 left, 3 right (reference: half_adj = adj // 2)
+        np.testing.assert_array_equal(out[:3], 0)
+        np.testing.assert_array_equal(out[13:], 0)
+        np.testing.assert_array_equal(out[3:13], 1)
+
+    def test_pad_short_odd(self):
+        out = extract_window_np(np.ones(9, np.float32), 16, RNG)
+        np.testing.assert_array_equal(out[:3], 0)  # half_adj = 7//2 = 3
+        np.testing.assert_array_equal(out[12:], 0)
+
+    def test_crop_long(self):
+        wave = np.arange(100, dtype=np.float32)
+        out = extract_window_np(wave, 16, RNG)
+        assert out.shape == (16,)
+        assert np.all(np.diff(out) == 1)
+
+    def test_jax_matches_semantics(self):
+        wave = jnp.arange(100, dtype=jnp.float32)
+        out = extract_window(wave, 16, jax.random.key(0))
+        out = np.asarray(out)
+        assert out.shape == (16,) and np.all(np.diff(out) == 1)
+        padded = np.asarray(extract_window(jnp.ones(10), 16, jax.random.key(0)))
+        np.testing.assert_array_equal(padded[:3], 0)
+
+
+class TestRunningNorm:
+    def _oracle(self, samples):
+        """Reference recursion (augmentations.py:215-286), scalar stats."""
+        n = 0
+        mu = var = None
+        for x in samples:
+            m = x.mean()
+            mu = m if n == 0 else mu + (m - mu) / max(n, 1)
+            sq = ((x - mu) ** 2).mean()
+            var = sq if n == 0 else var + (sq - var) / max(n, 1)
+            n += 1
+        return mu, var
+
+    def test_matches_reference_recursion(self):
+        xs = RNG.standard_normal((7, 1, 8, 12)).astype(np.float32) * 3 + 1
+        state = running_norm_init(epoch_samples=100)
+        state, out = running_norm_apply(state, jnp.asarray(xs))
+        mu, var = self._oracle(list(xs))
+        assert int(state.n) == 7
+        np.testing.assert_allclose(float(state.mean), mu, rtol=1e-5)
+        np.testing.assert_allclose(float(state.var), var, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(out), (xs - mu) / max(np.sqrt(var), 1.2e-7), rtol=2e-4, atol=1e-5
+        )
+
+    def test_freezes_after_cap(self):
+        state = running_norm_init(epoch_samples=1, max_update_epochs=2)  # cap = 2 samples
+        xs = jnp.asarray(RNG.standard_normal((5, 1, 4, 4)).astype(np.float32))
+        state, _ = running_norm_apply(state, xs)
+        assert int(state.n) == 2
+        frozen_mean = float(state.mean)
+        state2, _ = running_norm_apply(state, xs * 100)
+        assert int(state2.n) == 2 and float(state2.mean) == frozen_mean
+
+    def test_normalize_batch_matches_torch(self):
+        x = RNG.standard_normal((4, 1, 8, 12)).astype(np.float32)
+        ours = np.asarray(normalize_batch(jnp.asarray(x)))
+        xt = torch.tensor(x)
+        mean = xt.mean(dim=[0, 2, 3], keepdims=True)
+        std = torch.clamp(xt.std(dim=[0, 2, 3], keepdims=True), 1.1920929e-7)
+        np.testing.assert_allclose(ours, ((xt - mean) / std).numpy(), atol=1e-5)
