@@ -1,0 +1,42 @@
+"""Device mesh + sharding helpers.
+
+The reference's entire distributed story is data parallelism over NCCL
+(SURVEY.md §2.3). TPU-native equivalent: one `jax.sharding.Mesh` with a
+'data' axis; the train step runs under `shard_map` with params replicated
+and the batch sharded, using explicit XLA collectives (psum / all_gather)
+where the reference called torch.distributed. The mesh generalizes to
+('data', 'model') for tensor-parallel extensions without touching the step.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: int | None = None, axis: str = DATA_AXIS) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = DATA_AXIS):
+    """Place host arrays on the mesh, leading dim sharded across ``axis``."""
+    sharding = batch_sharded(mesh, axis)
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)

@@ -1,0 +1,165 @@
+"""One jitted, data-parallel SSL train step.
+
+Fuses the whole per-step pipeline into a single XLA program per device:
+
+    waveforms -> (l2-norm) -> log-mel frontend -> pre-norm + two augmented
+    views -> objective loss -> grad psum -> optax update
+
+replacing the reference's CPU dataloader-worker frontend + Lightning DDP hot
+loop (SURVEY.md §3.1). Runs under `shard_map` over the 'data' mesh axis:
+params/optimizer/SSL state replicated, batch + augmentation state sharded,
+gradients pmean'd (DDP all-reduce equivalent), BN stats psum'd inside the
+encoders (SyncBN equivalent).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from audiossl_tpu.data.augment import AugmentPipeline
+from audiossl_tpu.frontend.stft import LogMelConfig, log_mel
+from audiossl_tpu.ops.stats import l2_normalize
+from audiossl_tpu.parallel.mesh import DATA_AXIS
+from audiossl_tpu.train.state import TrainState
+
+
+def _local(aug_state):
+    """Strip the leading shard axis from augmentation state leaves."""
+    return jax.tree.map(lambda a: a[0], aug_state)
+
+
+def _global(aug_state):
+    return jax.tree.map(lambda a: a[None], aug_state)
+
+
+def prepare_views(
+    pipeline: AugmentPipeline,
+    mel_cfg: LogMelConfig,
+    normalization: str,
+    aug_state,
+    waves: jax.Array,
+    key: jax.Array,
+):
+    """waveforms [B, L] -> (aug_state', v1, v2) with views in NHWC [B, F, T, 1]."""
+    if normalization == "l2":
+        waves = l2_normalize(waves, axis=-1)
+    lms = log_mel(waves, mel_cfg)[:, None]  # [B, 1, F, T]
+    aug_state, v1, v2 = pipeline(aug_state, lms, key)
+    to_nhwc = lambda v: jnp.transpose(v, (0, 2, 3, 1))
+    return aug_state, to_nhwc(v1), to_nhwc(v2)
+
+
+def make_train_step(
+    objective: Any,
+    pipeline: AugmentPipeline,
+    mel_cfg: LogMelConfig,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    normalization: str = "mean_var",
+    labeled: bool = False,
+    axis: str = DATA_AXIS,
+) -> Callable[[TrainState, jax.Array], tuple[TrainState, dict]]:
+    """Build the jitted step. ``labeled`` passes per-clip labels through to the
+    objective (UnFuSeD pseudo-label training, SURVEY.md §2.1)."""
+
+    def step_fn(state: TrainState, waves: jax.Array, labels: jax.Array | None):
+        key = jax.random.fold_in(state.rng, state.step)
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        k_aug, k_loss = jax.random.split(key)
+
+        aug_state, v1, v2 = prepare_views(
+            pipeline, mel_cfg, normalization, _local(state.aug_state), waves, k_aug
+        )
+        views = (v1, v2) if labels is None else (v1, v2, labels)
+
+        def loss_fn(params):
+            return objective.loss(
+                params, state.batch_stats, state.ssl_state, views, k_loss, True, axis
+            )
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.pmean(grads, axis)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {k: jax.lax.pmean(v, axis) for k, v in aux.metrics.items()}
+
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            batch_stats=aux.batch_stats,
+            ssl_state=aux.ssl_state,
+            aug_state=_global(aug_state),
+            rng=state.rng,
+        )
+        return new_state, metrics
+
+    state_specs = TrainState(
+        step=P(), params=P(), opt_state=P(), batch_stats=P(), ssl_state=P(), aug_state=P(axis), rng=P()
+    )
+    sharded = shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(state_specs, P(axis), P(axis) if labeled else P()),
+        out_specs=(state_specs, P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def train_step(state: TrainState, waves: jax.Array, labels: jax.Array | None = None):
+        return sharded(state, waves, labels)
+
+    if labeled:
+        return train_step
+    return lambda state, waves, labels=None: train_step(state, waves, None)
+
+
+def init_train_state(
+    objective: Any,
+    pipeline: AugmentPipeline,
+    mel_cfg: LogMelConfig,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    key: jax.Array,
+    local_batch: int,
+    clip_samples: int,
+    normalization: str = "mean_var",
+    labeled: bool = False,
+) -> TrainState:
+    """Initialize params/state from a dummy batch (shapes only)."""
+    n_shards = mesh.devices.size
+    n_frames = mel_cfg.num_frames(clip_samples)
+    aug_local = pipeline.init_state(mel_cfg.n_mels, n_frames)
+    aug_state = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (n_shards,) + a.shape), aug_local
+    )
+
+    dummy = jnp.zeros((local_batch, mel_cfg.n_mels, n_frames, 1), jnp.float32)
+    views = (dummy, dummy) if not labeled else (dummy, dummy, jnp.zeros((local_batch,), jnp.int32))
+    k_init, k_rng = jax.random.split(key)
+    params, batch_stats, ssl_state = objective.init(k_init, views)
+    opt_state = tx.init(params)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=opt_state,
+        batch_stats=batch_stats,
+        ssl_state=ssl_state,
+        aug_state=aug_state,
+        rng=k_rng,
+    )
+    # Place on the mesh: aug state sharded along 'data', everything replicated.
+    from jax.sharding import NamedSharding
+
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    state = jax.tree.map(lambda a: jax.device_put(a, repl), state._replace(aug_state=None))._replace(
+        aug_state=jax.tree.map(lambda a: jax.device_put(a, shard), aug_state)
+    )
+    return state
