@@ -1,0 +1,125 @@
+"""CSV-manifest input pipeline: decode on host threads, window, batch.
+
+The reference's hot path (SURVEY.md §3.1) spends its CPU budget on
+per-worker librosa STFT; here the host only decodes WAV bytes and crops a
+fixed window — the frontend runs jitted on-device inside the train step, so
+the pipeline emits raw waveform batches ``[B, clip_samples] float32``.
+
+Threaded prefetch replaces torch DataLoader workers (decode is
+release-the-GIL NumPy work). Epoch shuffling is seeded like
+DistributedSampler(shuffle=True, seed=...) (train_downstream.py:63).
+"""
+from __future__ import annotations
+
+import concurrent.futures as cf
+import threading
+from queue import Queue
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from audiossl_tpu.data.wav import load_wave
+from audiossl_tpu.ops.windowing import extract_window_np
+
+
+class ManifestLoader:
+    """Iterates (waves [B, L] f32, labels [B] i32 | None) batches from a CSV.
+
+    CSV schema matches the reference upstream dataset: column ``files``
+    (+ optional ``label`` for UnFuSeD pseudo-labels)
+    (src/dataset/upstream_dataset.py:50-88).
+    """
+
+    def __init__(
+        self,
+        csv_path: str,
+        batch_size: int,
+        clip_samples: int,
+        sample_rate: int = 16000,
+        labeled: bool = False,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        num_workers: int = 8,
+        file_col: str = "files",
+        label_col: str = "label",
+        labels_map: dict | None = None,
+    ):
+        self.df = pd.read_csv(csv_path)
+        self.files = self.df[file_col].tolist()
+        self.labels = None
+        if labeled:
+            # reuse the train split's mapping for valid/test (train_downstream.py:59)
+            self.label_to_id = labels_map or {
+                l: i for i, l in enumerate(sorted(set(self.df[label_col])))
+            }
+            self.labels = np.asarray([self.label_to_id[l] for l in self.df[label_col]], np.int32)
+        self.batch_size = batch_size
+        self.clip_samples = clip_samples
+        self.sample_rate = sample_rate
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_workers = num_workers
+
+    def __len__(self) -> int:
+        n = len(self.files)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    @property
+    def num_samples(self) -> int:
+        return len(self.files)
+
+    def _load_one(self, idx: int, rng: np.random.Generator) -> np.ndarray:
+        wave = load_wave(self.files[idx], self.sample_rate)
+        return extract_window_np(wave, self.clip_samples, rng)
+
+    def epoch(self, epoch: int = 0) -> Iterator:
+        order = np.arange(len(self.files))
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(order)
+        n_batches = len(self)
+        rng = np.random.default_rng((self.seed, epoch))
+
+        def make_batch(b: int):
+            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+            waves = np.stack([self._load_one(i, rng) for i in idxs]).astype(np.float32)
+            if self.labels is not None:
+                return waves, self.labels[idxs]
+            return waves, None
+
+        if self.num_workers <= 1:
+            for b in range(n_batches):
+                yield make_batch(b)
+            return
+
+        # bounded prefetch: overlap host decode with device compute
+        q: Queue = Queue(maxsize=4)
+        stop = threading.Event()
+
+        def producer():
+            with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                futs = [pool.submit(make_batch, b) for b in range(min(4, n_batches))]
+                nxt = len(futs)
+                for i in range(n_batches):
+                    if stop.is_set():
+                        for f in futs:
+                            f.cancel()
+                        return
+                    q.put(futs.pop(0).result())
+                    if nxt < n_batches:
+                        futs.append(pool.submit(make_batch, nxt))
+                        nxt += 1
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,39 @@
+"""Downstream encoder + linear head (reference: src/downstream/downstream_encoder.py).
+
+``finetune_layer == -1`` probes the final per-frame features (time-mean
+pooled); 0/1/2 probe the per-block taps (already time-pooled, dims
+2048/1024/512 — downstream_config.yaml:16). Note the reference's forward
+applies ``mean(dim=1)`` to the 2-D taps, which would collapse the feature
+axis (§2.5 defect); we use the pooled taps directly, as intended.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from audiossl_tpu.models.audiontt import AudioNTT2020Task6
+
+
+class DownstreamModel(nn.Module):
+    n_mels: int
+    d: int
+    num_classes: int
+    finetune_layer: int = -1
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, v: jax.Array, train: bool = False) -> jax.Array:
+        enc = AudioNTT2020Task6(
+            n_mels=self.n_mels,
+            d=self.d,
+            return_all_layers=True,
+            axis_name=self.axis_name,
+            name="encoder",
+        )
+        l1, l2, l3, x = enc(v, train)
+        if self.finetune_layer == -1:
+            h = jnp.mean(x, axis=1)
+        else:
+            h = (l1, l2, l3)[self.finetune_layer]
+        return nn.Dense(self.num_classes, name="final", dtype=h.dtype)(h)

@@ -1,0 +1,194 @@
+"""Downstream linear-probe / finetune trainer (reference: train_downstream.py).
+
+Frozen or finetuned AudioNTT encoder + linear head, Adam + cross-entropy,
+per-epoch test accuracy, JSON-lines stats + accuracy plot. Data-parallel
+over the mesh like the upstream step (DDP + SyncBN equivalent). ``freeze``
+masks the optimizer to the head (the reference sets requires_grad=False,
+utils.py:223-227 — BN statistics still update in train mode, matched here).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from audiossl_tpu.data.pipeline import ManifestLoader
+from audiossl_tpu.frontend.stft import LogMelConfig, log_mel
+from audiossl_tpu.downstream.model import DownstreamModel
+from audiossl_tpu.objectives.unfused import cross_entropy
+from audiossl_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_batch
+from audiossl_tpu.train import checkpoint as ckpt
+from audiossl_tpu.utils.metrics import Accuracy, AverageMeter
+
+log = logging.getLogger("audiossl_tpu.downstream")
+
+
+def _build_loaders(config, args):
+    ds = config["downstream"]
+    sr = int(ds["input"]["sampling_rate"])
+    clip = int(float(config["run"].get("duration", 1)) * sr)
+    batch = int(config["run"]["batch_size"])
+    train = ManifestLoader(
+        args["train_csv"], batch, clip, sr, labeled=True, shuffle=True,
+        num_workers=int(config["run"].get("num_dataloader_workers", 8)), file_col="wav", seed=1,
+    )
+    test = ManifestLoader(
+        args["test_csv"], batch, clip, sr, labeled=True, shuffle=False, drop_last=False,
+        num_workers=int(config["run"].get("num_dataloader_workers", 8)), file_col="wav",
+        labels_map=train.label_to_id,
+    )
+    valid = None
+    if args.get("valid_csv"):
+        valid = ManifestLoader(
+            args["valid_csv"], batch, clip, sr, labeled=True, shuffle=False, drop_last=False,
+            num_workers=4, file_col="wav", labels_map=train.label_to_id,
+        )
+    return train, valid, test, clip
+
+
+def run_downstream(config: dict[str, Any], args: dict[str, Any]):
+    mesh = make_mesh(int(config["run"].get("world_size", 0)) or None)
+    n_dev = mesh.devices.size
+    ds = config["downstream"]
+    train_loader, valid_loader, test_loader, clip = _build_loaders(config, args)
+    num_classes = len(train_loader.label_to_id)
+    mel_cfg = LogMelConfig(
+        sample_rate=int(ds["input"]["sampling_rate"]), n_mels=int(ds["input"]["n_mels"])
+    )
+
+    model = DownstreamModel(
+        n_mels=mel_cfg.n_mels,
+        d=int(ds["base_encoder"]["output_dim"]),
+        num_classes=num_classes,
+        finetune_layer=int(ds.get("finetune_layer", -1)),
+        axis_name=DATA_AXIS,
+    )
+    n_frames = mel_cfg.num_frames(clip)
+    dummy = jnp.zeros((2, mel_cfg.n_mels, n_frames, 1), jnp.float32)
+    variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, dummy, False)
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+
+    # upstream -> downstream weight handoff (utils.py:199-207 equivalent)
+    if args.get("checkpoint"):
+        enc_target = {"params": params["encoder"], "batch_stats": batch_stats["encoder"]}
+        enc = ckpt.load_encoder(args["checkpoint"], enc_target)
+        params = dict(params) | {"encoder": enc["params"]}
+        batch_stats = dict(batch_stats) | {"encoder": enc["batch_stats"]}
+        log.info("loaded pretrained encoder from %s", args["checkpoint"])
+
+    freeze = bool(args.get("freeze", config["run"].get("freeze", False)))
+    lr = float(config["run"].get("lr", 1e-3))
+    label_fn = lambda p: jax.tree.map_with_path(
+        lambda path, _: "head" if path[0].key == "final" else "frozen", p
+    )
+    if freeze:
+        tx = optax.multi_transform(
+            {"head": optax.adam(lr), "frozen": optax.set_to_zero()}, label_fn
+        )
+    else:
+        tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    def train_step(params, batch_stats, opt_state, waves, labels, key):
+        lms = jnp.transpose(log_mel(waves, mel_cfg)[:, :, :, None], (0, 1, 2, 3))
+
+        def loss_fn(p):
+            logits, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                lms,
+                True,
+                rngs={"dropout": key},
+                mutable=["batch_stats"],
+            )
+            return cross_entropy(logits, labels), mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, new_opt, loss
+
+    train_step = jax.jit(
+        shard_map(
+            train_step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        )
+    )
+
+    @jax.jit
+    def eval_step(params, batch_stats, waves):
+        lms = log_mel(waves, mel_cfg)[:, :, :, None]
+        logits = model.apply({"params": params, "batch_stats": batch_stats}, lms, False)
+        return jnp.argmax(logits, axis=1)
+
+    exp_root = os.path.join(str(args.get("exp_dir", "./exp")), str(args.get("task", "task")))
+    os.makedirs(exp_root, exist_ok=True)
+    stats_file = open(os.path.join(exp_root, "downstream_stats.txt"), "a", buffering=1)
+
+    def evaluate(loader):
+        acc = Accuracy()
+        losses = []
+        for waves, labels in loader.epoch(0):
+            preds = np.asarray(eval_step(params, batch_stats, jnp.asarray(waves)))
+            acc.update(preds == labels)
+        return acc.avg
+
+    repl = NamedSharding(mesh, P())
+    params, batch_stats, opt_state = jax.tree.map(
+        lambda a: jax.device_put(a, repl), (params, batch_stats, opt_state)
+    )
+
+    epochs = int(config["run"].get("epochs", 100))
+    test_acc_hist = []
+    key = jax.random.key(7)
+    step = 0
+    for epoch in range(epochs):
+        t0 = time.time()
+        losses = AverageMeter()
+        for waves, labels in train_loader.epoch(epoch):
+            key, sub = jax.random.split(key)
+            params, batch_stats, opt_state, loss = train_step(
+                params, batch_stats, opt_state,
+                shard_batch(mesh, jnp.asarray(waves)), shard_batch(mesh, jnp.asarray(labels)), sub,
+            )
+            losses.update(float(loss), len(labels))
+            step += 1
+        test_acc = evaluate(test_loader)
+        test_acc_hist.append(test_acc)
+        stats = {
+            "epoch": epoch,
+            "Train_loss": losses.avg,
+            "Test_Accuracy": test_acc,
+            "Best_Test_Acc": max(test_acc_hist),
+            "epoch_time_s": time.time() - t0,
+        }
+        log.info("%s", stats)
+        print(json.dumps(stats), file=stats_file)
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.plot(range(1, len(test_acc_hist) + 1), test_acc_hist, label="test accuracy", marker="x")
+        plt.legend()
+        plt.savefig(os.path.join(exp_root, "accuracy.png"))
+        plt.close()
+    except Exception:  # pragma: no cover - plotting is best-effort
+        pass
+    stats_file.close()
+    return {"best_test_acc": max(test_acc_hist), "history": test_acc_hist, "params": params, "batch_stats": batch_stats}

@@ -1,0 +1,60 @@
+"""Orbax checkpointing: full TrainState + encoder-only export for downstream.
+
+Replaces the reference's three mechanisms (SURVEY.md §5 checkpoint/resume):
+Lightning ModelCheckpoint(train_loss, save_top_k=1), manual per-epoch
+torch.save, and algorithm-state persistence (the MoCo queue / memory bank —
+our ssl_state rides inside TrainState, so resume is exact including queue
+pointer and augmentation ring buffer).
+
+Layout: <dir>/state/<step>/ (orbax tree) + <dir>/encoder/<step>/ (encoder
+variables only — the `encoder_q.state_dict()` handoff of utils.py:199-207)
++ <dir>/config.yaml.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+import yaml
+
+
+def _path(d: str) -> str:
+    return os.path.abspath(os.path.expanduser(d))
+
+
+def save_checkpoint(ckpt_dir: str, step: int, state: Any, encoder_vars: Any, config: dict | None = None) -> None:
+    ckpt_dir = _path(ckpt_dir)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(ckpt_dir, "state", str(step)), state, force=True)
+        ckptr.save(os.path.join(ckpt_dir, "encoder", str(step)), encoder_vars, force=True)
+    if config is not None:
+        with open(os.path.join(ckpt_dir, "config.yaml"), "w") as f:
+            yaml.safe_dump(config, f)
+
+
+def latest_step(ckpt_dir: str, kind: str = "state") -> int | None:
+    d = os.path.join(_path(ckpt_dir), kind)
+    if not os.path.isdir(d):
+        return None
+    steps = [int(s) for s in os.listdir(d) if s.isdigit()]
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(ckpt_dir: str, target: Any, step: int | None = None, kind: str = "state") -> Any:
+    """Restore into the structure/shardings of ``target`` (an abstract or
+    concrete pytree)."""
+    ckpt_dir = _path(ckpt_dir)
+    if step is None:
+        step = latest_step(ckpt_dir, kind)
+        if step is None:
+            raise FileNotFoundError(f"no {kind} checkpoints under {ckpt_dir}")
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.join(ckpt_dir, kind, str(step)), abstract)
+
+
+def load_encoder(ckpt_dir: str, target_vars: Any, step: int | None = None) -> Any:
+    """Load exported encoder variables (downstream transfer)."""
+    return restore_checkpoint(ckpt_dir, target_vars, step, kind="encoder")

@@ -1,0 +1,157 @@
+"""Upstream pretraining loop: objective-agnostic, mesh-parallel.
+
+Drives the jitted train step over epochs of the manifest loader, with the
+reference's observability surface: per-step batch/data timing meters
+(train_downstream.py:132-157 style), JSON-lines stats, best-train-loss
+checkpointing (ModelCheckpoint(monitor='train_loss', save_top_k=1) —
+train_upstream.py:49-54) plus periodic step checkpoints
+(extras/delores-s/main.py:176-190 saves every 500 steps).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Any
+
+import jax
+import numpy as np
+
+from audiossl_tpu import config as cfgmod
+from audiossl_tpu.data.augment import AugmentConfig, AugmentPipeline
+from audiossl_tpu.data.pipeline import ManifestLoader
+from audiossl_tpu.frontend.stft import LogMelConfig
+from audiossl_tpu.objectives import get_objective
+from audiossl_tpu.parallel.mesh import make_mesh, shard_batch
+from audiossl_tpu.train import checkpoint as ckpt
+from audiossl_tpu.train.optim import build_optimizer, warmup_cosine
+from audiossl_tpu.train.step import init_train_state, make_train_step
+from audiossl_tpu.utils.metrics import AverageMeter
+
+log = logging.getLogger("audiossl_tpu.train")
+
+
+def train_upstream(
+    config: dict[str, Any],
+    input_csv: str,
+    upstream: str,
+    load_checkpoint: str | None = None,
+    max_steps: int | None = None,
+    save_every: int = 500,
+    seed: int = 31,  # reference seeds torch.manual_seed(31) (extras/delores-s/main.py:59-64)
+):
+    run = config["run"]
+    pre = config["pretrain"]
+    mesh = make_mesh(int(run.get("world_size", 0)) or None)
+    n_dev = mesh.devices.size
+    batch = int(run["batch_size"])
+    if batch % n_dev:
+        batch = n_dev * max(1, batch // n_dev)
+        log.warning("batch_size adjusted to %d to divide %d devices", batch, n_dev)
+
+    objective = get_objective(upstream)(config)
+    labeled = bool(getattr(objective, "labeled", False))
+    clip = cfgmod.clip_samples(config)
+    mel_cfg = LogMelConfig(
+        sample_rate=int(pre["input"]["sampling_rate"]), n_mels=int(pre["input"]["n_mels"])
+    )
+    loader = ManifestLoader(
+        input_csv,
+        batch_size=batch,
+        clip_samples=clip,
+        sample_rate=mel_cfg.sample_rate,
+        labeled=labeled,
+        num_workers=int(run.get("num_dataloader_workers", 8)),
+        seed=seed,
+    )
+    pipeline = AugmentPipeline(AugmentConfig.from_dict(pre), epoch_samples=loader.num_samples)
+
+    epochs = int(run.get("epochs", 1))
+    steps_per_epoch = max(len(loader), 1)
+    lr = float(run.get("learning_rate", 0.03))
+    opt_name = str(run.get("optimizer", "sgd"))
+    if run.get("lr_schedule") == "warmup_cosine":
+        lr = warmup_cosine(lr, epochs * steps_per_epoch, 10 * steps_per_epoch)
+    tx = build_optimizer(opt_name, lr, **(run.get("optimizer_args") or {}))
+
+    state = init_train_state(
+        objective,
+        pipeline,
+        mel_cfg,
+        tx,
+        mesh,
+        jax.random.key(seed),
+        local_batch=batch // n_dev,
+        clip_samples=clip,
+        normalization=pre.get("normalization", "mean_var"),
+        labeled=labeled,
+    )
+    if load_checkpoint:
+        state = ckpt.restore_checkpoint(load_checkpoint, state)
+        log.info("resumed from %s at step %d", load_checkpoint, int(state.step))
+
+    step_fn = make_train_step(
+        objective,
+        pipeline,
+        mel_cfg,
+        tx,
+        mesh,
+        normalization=pre.get("normalization", "mean_var"),
+        labeled=labeled,
+    )
+
+    save_path = run.get("save_path", "./runs/" + upstream)
+    ckpt_dir = save_path + "_chkp"
+    os.makedirs(ckpt_dir, exist_ok=True)
+    stats_path = os.path.join(ckpt_dir, "stats.jsonl")
+    stats_file = open(stats_path, "a", buffering=1)
+
+    best_loss = float("inf")
+    global_step = int(state.step)
+    batch_time, data_time = AverageMeter(), AverageMeter()
+    t_end = time.time()
+    done = False
+    for epoch in range(epochs):
+        if done:
+            break
+        for waves, labels in loader.epoch(epoch):
+            data_time.update(time.time() - t_end)
+            waves = shard_batch(mesh, waves)
+            if labels is not None:
+                labels = shard_batch(mesh, labels)
+            state, metrics = step_fn(state, waves, labels)
+            loss = float(metrics["train_loss"])
+            batch_time.update(time.time() - t_end)
+            t_end = time.time()
+            global_step += 1
+            rec = {
+                "epoch": epoch,
+                "step": global_step,
+                **{k: float(v) for k, v in metrics.items()},
+                "batch_time": batch_time.val,
+                "data_time": data_time.val,
+            }
+            print(json.dumps(rec), file=stats_file)
+            if global_step % 10 == 0 or global_step == 1:
+                log.info(
+                    "epoch %d step %d loss %.4f (batch %.3fs data %.3fs)",
+                    epoch, global_step, loss, batch_time.avg, data_time.avg,
+                )
+            if save_every and global_step % save_every == 0:
+                ckpt.save_checkpoint(
+                    ckpt_dir, global_step, state,
+                    objective.encoder_variables(state.params, state.batch_stats), config,
+                )
+            if max_steps and global_step >= max_steps:
+                done = True
+                break
+        # best-train-loss checkpoint at epoch granularity (ModelCheckpoint equivalent)
+        if loss < best_loss or epoch == epochs - 1 or done:
+            best_loss = min(best_loss, loss)
+            ckpt.save_checkpoint(
+                ckpt_dir, global_step, state,
+                objective.encoder_variables(state.params, state.batch_stats), config,
+            )
+    stats_file.close()
+    return state, ckpt_dir

@@ -1,0 +1,49 @@
+"""Upstream SSL pretraining CLI.
+
+Preserves the reference CLI semantics (train_upstream.py:68-80):
+
+    python train_upstream.py --upstream delores_m --input pre_train.csv [-c config.yaml]
+                             [--load_checkpoint DIR] [--max_steps N]
+
+but launches a single-process mesh-parallel JAX run instead of Lightning DDP.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def get_args():
+    parser = argparse.ArgumentParser(allow_abbrev=False)
+    parser.add_argument("--input", type=str, required=True, help="pretraining manifest CSV (column `files`[, `label`])")
+    parser.add_argument("--load_checkpoint", type=str, default=None, help="checkpoint dir to resume from")
+    parser.add_argument("-c", "--config", metavar="CONFIG_PATH", default=None, help="experiment YAML (defaults to configs/<upstream>.yaml)")
+    parser.add_argument("--upstream", type=str, default="delores_m", help="upstream objective name")
+    parser.add_argument("--max_steps", type=int, default=None, help="stop after N optimizer steps (smoke runs)")
+    parser.add_argument("--epochs", type=int, default=None, help="override config run.epochs")
+    parser.add_argument("--batch_size", type=int, default=None, help="override config run.batch_size")
+    parser.add_argument("--save_path", type=str, default=None, help="override config run.save_path")
+    return parser.parse_args()
+
+
+def main(args):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+    from audiossl_tpu.config import load_config
+    from audiossl_tpu.train.loop import train_upstream
+
+    config = load_config(args.config, args.upstream)
+    if args.epochs is not None:
+        config["run"]["epochs"] = args.epochs
+    if args.batch_size is not None:
+        config["run"]["batch_size"] = args.batch_size
+    if args.save_path is not None:
+        config["run"]["save_path"] = args.save_path
+    print(config)
+    state, ckpt_dir = train_upstream(
+        config, args.input, args.upstream, load_checkpoint=args.load_checkpoint, max_steps=args.max_steps
+    )
+    print(f"checkpoints written to {ckpt_dir} (final step {int(state.step)})")
+
+
+if __name__ == "__main__":
+    main(get_args())
