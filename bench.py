@@ -1,0 +1,136 @@
+"""Benchmark: audio-clips/sec/chip through log-mel + augmentations + encoder.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
+
+vs_baseline is the speedup over the reference-style CPU pipeline (NumPy
+librosa-equivalent log-mel in dataloader-worker style + torch AudioNTT
+forward on CPU), the 1x denominator defined in BASELINE.md. The CPU number
+is measured once and cached in .bench_baseline.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = 256
+CLIP = 15200
+WARMUP = 3
+ITERS = 10
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
+
+
+def measure_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from audiossl_tpu.data.augment import AugmentConfig, AugmentPipeline
+    from audiossl_tpu.frontend.stft import LogMelConfig
+    from audiossl_tpu.models.audiontt import AudioNTT2020Task6
+    from audiossl_tpu.train.step import prepare_views
+
+    mel_cfg = LogMelConfig()
+    pipe = AugmentPipeline(
+        AugmentConfig(mixup_ratio=0.4, rrc=True, normalization="mean_var"), epoch_samples=10**6
+    )
+    model = AudioNTT2020Task6(n_mels=64, d=2048, return_all_layers=False)
+    n_frames = mel_cfg.num_frames(CLIP)
+    aug_state = pipe.init_state(64, n_frames)
+
+    rng = np.random.default_rng(0)
+    waves = jnp.asarray(0.3 * rng.standard_normal((BATCH, CLIP)), jnp.float32)
+    dummy = jnp.zeros((BATCH, 64, n_frames, 1), jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, dummy, False)
+
+    @jax.jit
+    def pipeline(aug_state, waves, key):
+        aug_state, v1, v2 = prepare_views(pipe, mel_cfg, "mean_var", aug_state, waves, key)
+        emb = model.apply(variables, v1, False)
+        return aug_state, emb
+
+    key = jax.random.key(1)
+    for _ in range(WARMUP):
+        aug_state, emb = pipeline(aug_state, waves, key)
+    jax.block_until_ready(emb)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        aug_state, emb = pipeline(aug_state, waves, key)
+    jax.block_until_ready(emb)
+    dt = (time.perf_counter() - t0) / ITERS
+    return BATCH / dt
+
+
+def measure_cpu_baseline(n_clips: int = 16) -> float:
+    """Reference-style CPU pipeline: per-clip librosa-equivalent log-mel
+    (the dataloader-worker hot spot, SURVEY.md §3.1) + torch conv encoder."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    import torch
+    from oracles.librosa_oracle import log_mel_oracle
+
+    torch.set_num_threads(os.cpu_count() or 8)
+
+    class TorchNTT(torch.nn.Module):
+        def __init__(self, n_mels=64, d=2048):
+            super().__init__()
+            blocks = []
+            c_in = 1
+            for _ in range(3):
+                blocks += [
+                    torch.nn.Conv2d(c_in, 64, 3, 1, 1),
+                    torch.nn.BatchNorm2d(64),
+                    torch.nn.ReLU(),
+                    torch.nn.MaxPool2d(2, 2),
+                ]
+                c_in = 64
+            self.features = torch.nn.Sequential(*blocks)
+            self.fc = torch.nn.Sequential(
+                torch.nn.Linear(64 * (n_mels // 8), d), torch.nn.ReLU(), torch.nn.Linear(d, d), torch.nn.ReLU()
+            )
+
+        def forward(self, x):
+            x = self.features(x)
+            b, c, f, t = x.shape
+            x = x.permute(0, 3, 2, 1).reshape(b, t, f * c)
+            return self.fc(x)
+
+    model = TorchNTT().eval()
+    rng = np.random.default_rng(0)
+    waves = (0.3 * rng.standard_normal((n_clips, CLIP))).astype(np.float32)
+    # warm one clip
+    with torch.no_grad():
+        lm = log_mel_oracle(waves[0]).astype(np.float32)
+        model(torch.tensor(lm[None, None]))
+    t0 = time.perf_counter()
+    with torch.no_grad():
+        lms = np.stack([log_mel_oracle(w).astype(np.float32) for w in waves])
+        model(torch.tensor(lms[:, None]))
+    dt = time.perf_counter() - t0
+    return n_clips / dt
+
+
+def main():
+    refresh = "--refresh-baseline" in sys.argv
+    if os.path.exists(BASELINE_CACHE) and not refresh:
+        baseline = json.load(open(BASELINE_CACHE))["cpu_clips_per_sec"]
+    else:
+        baseline = measure_cpu_baseline()
+        json.dump({"cpu_clips_per_sec": baseline}, open(BASELINE_CACHE, "w"))
+    tpu = measure_tpu()
+    print(
+        json.dumps(
+            {
+                "metric": "clips/sec/chip through log-mel+aug+encoder",
+                "value": round(tpu, 1),
+                "unit": "clips/sec/chip",
+                "vs_baseline": round(tpu / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
