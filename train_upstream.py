@@ -29,7 +29,6 @@ def get_args():
 def main(args):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     from audiossl_tpu.config import load_config
-    from audiossl_tpu.train.loop import train_upstream
 
     config = load_config(args.config, args.upstream)
     if args.epochs is not None:
@@ -39,9 +38,20 @@ def main(args):
     if args.save_path is not None:
         config["run"]["save_path"] = args.save_path
     print(config)
-    state, ckpt_dir = train_upstream(
-        config, args.input, args.upstream, load_checkpoint=args.load_checkpoint, max_steps=args.max_steps
-    )
+    if args.upstream == "decar_v2":
+        # DECAR has its own trainer (per-epoch distributed k-means phase),
+        # like the reference's standalone extras/decar-v2 codebase.
+        from audiossl_tpu.train.decar_loop import train_decar
+
+        state, ckpt_dir = train_decar(
+            config, args.input, load_checkpoint=args.load_checkpoint, max_steps=args.max_steps
+        )
+    else:
+        from audiossl_tpu.train.loop import train_upstream
+
+        state, ckpt_dir = train_upstream(
+            config, args.input, args.upstream, load_checkpoint=args.load_checkpoint, max_steps=args.max_steps
+        )
     print(f"checkpoints written to {ckpt_dir} (final step {int(state.step)})")
 
 
