@@ -163,6 +163,8 @@ class AugmentConfig:
     freq_scale: tuple[float, float] = (0.6, 1.5)
     time_scale: tuple[float, float] = (0.6, 1.5)
     gaussian_ratio: float | None = None
+    spec_mask_freq: int = 0  # SpecAugment-style masking (MAST pipeline)
+    spec_mask_time: int = 0
     normalization: str = "mean_var"  # mean_var | l2 | none
     n_memory: int = 2048
 
@@ -190,6 +192,9 @@ class AugmentConfig:
             kw["rrc"] = False
         if "MixGaussianNoise" in aug:
             kw["gaussian_ratio"] = float(aug["MixGaussianNoise"].get("ratio", 0.3))
+        if "SpecMask" in aug:
+            kw["spec_mask_freq"] = int(aug["SpecMask"].get("freq_param", 0))
+            kw["spec_mask_time"] = int(aug["SpecMask"].get("time_param", 0))
         return cls(**kw)
 
 
@@ -220,7 +225,7 @@ class AugmentPipeline:
         )
 
     def _one_view(self, mixup_state, x, key):
-        k_mix, k_kmix, k_rrc, k_noise = jax.random.split(key, 4)
+        k_mix, k_kmix, k_rrc, k_noise, k_mask = jax.random.split(key, 5)
         if self.cfg.mixup_ratio is not None:
             x = mixup_byola(mixup_state, x, k_mix, self.cfg.mixup_ratio, self.cfg.mixup_log)
         if self.cfg.kmix_ratio is not None:
@@ -236,6 +241,12 @@ class AugmentPipeline:
                     xi, ki, self.cfg.virtual_crop_scale, self.cfg.freq_scale, self.cfg.time_scale
                 )
             )(x, keys)
+        if self.cfg.spec_mask_freq or self.cfg.spec_mask_time:
+            from audiossl_tpu.ops.masking import spec_mask_batch
+
+            x = spec_mask_batch(
+                x, k_mask, freq_param=self.cfg.spec_mask_freq, time_param=self.cfg.spec_mask_time
+            )
         return x
 
     def __call__(self, state: AugmentState, x: jax.Array, key: jax.Array):

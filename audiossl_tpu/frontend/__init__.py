@@ -1,0 +1,52 @@
+"""Frontend registry: waveform -> [B, F, T] feature maps, on-device.
+
+Two families, matching the reference's frontends (SURVEY.md L1):
+  * ``logmel`` — librosa-style STFT power mel (src/utils/utils.py:20-29)
+  * ``fbank`` — Kaldi-compatible fbank for MAST (dataloader.py:131-132),
+    padded/cut to ``target_length`` frames.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from audiossl_tpu.frontend.fbank import FbankConfig, kaldi_fbank, pad_or_trim_frames
+from audiossl_tpu.frontend.stft import LogMelConfig, log_mel
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendSpec:
+    kind: str  # 'logmel' | 'fbank'
+    n_mels: int
+    sample_rate: int
+    target_length: int | None = None  # fbank: fixed frame count
+
+    def num_frames(self, n_samples: int) -> int:
+        if self.kind == "fbank":
+            cfg = FbankConfig(sample_rate=self.sample_rate, num_mel_bins=self.n_mels)
+            return self.target_length if self.target_length else cfg.num_frames(n_samples)
+        return LogMelConfig(sample_rate=self.sample_rate, n_mels=self.n_mels).num_frames(n_samples)
+
+    def __call__(self, waves: jax.Array) -> jax.Array:
+        """[B, L] -> [B, F, T]."""
+        if self.kind == "fbank":
+            cfg = FbankConfig(sample_rate=self.sample_rate, num_mel_bins=self.n_mels)
+            fb = kaldi_fbank(waves, cfg)  # [B, T, M]
+            if self.target_length:
+                fb = pad_or_trim_frames(fb, self.target_length)
+            return jnp.swapaxes(fb, -1, -2)  # [B, M, T]
+        return log_mel(waves, LogMelConfig(sample_rate=self.sample_rate, n_mels=self.n_mels))
+
+
+def build_frontend(input_cfg: dict[str, Any]) -> FrontendSpec:
+    """From the YAML `pretrain.input` / `downstream.input` section."""
+    kind = "fbank" if str(input_cfg.get("type", "raw_wav")) == "fbank" else "logmel"
+    return FrontendSpec(
+        kind=kind,
+        n_mels=int(input_cfg.get("n_mels", 64)),
+        sample_rate=int(input_cfg.get("sampling_rate", 16000)),
+        target_length=int(input_cfg["target_length"]) if input_cfg.get("target_length") else None,
+    )

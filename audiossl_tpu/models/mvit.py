@@ -1,0 +1,366 @@
+"""MViTv2 (Improved Multiscale Vision Transformer), Flax — the MAST backbone.
+
+Built from the vendored reference spec (authoritative per SURVEY.md §2.2):
+extras/mast_new/mast/mvit/models/mvit_model.py:101-277 (model/stage wiring,
+_prepare_mvit_configs:280-317), attention.py (MultiScaleAttention with
+conv-pooled q/kv, decomposed relative position cal_rel_pos_spatial:45-90,
+residual pooling), common.py (Mlp, DropPath, round_width), and the variant
+YAMLs configs/MVITv2_{T,S,B}.yaml.
+
+TPU-first choices: all shapes static per block (pool strides are config
+constants, so each stage's [H, W] is known at trace time); the rel-pos
+distance index matrices are precomputed NumPy constants; pooling convs are
+depthwise (feature_group_count) NHWC convs; attention is one batched matmul
+chain XLA maps onto the MXU. Rectangular token grids are supported (audio:
+time x freq), with separate rel_pos_h / rel_pos_w tables sized per axis —
+the vendored code asserts square inputs; timm's MViTv2 (which the reference
+MAST actually instantiates, src/encoder/mast.py:65-81) supports rectangles,
+and we follow that.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def round_width(width, multiplier, min_width: int = 1, divisor: int = 1) -> int:
+    if not multiplier:
+        return int(width)
+    width *= multiplier
+    min_width = min_width or divisor
+    width_out = max(min_width, int(width + divisor / 2) // divisor * divisor)
+    if width_out < 0.9 * width:
+        width_out += divisor
+    return int(width_out)
+
+
+@dataclasses.dataclass(frozen=True)
+class MViTConfig:
+    embed_dim: int = 96
+    depth: int = 16
+    num_heads: int = 1
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    droppath_rate: float = 0.1
+    patch_kernel: tuple[int, int] = (7, 7)
+    patch_stride: tuple[int, int] = (4, 4)
+    patch_padding: tuple[int, int] = (3, 3)
+    dim_mul: tuple[tuple[int, float], ...] = ()
+    head_mul: tuple[tuple[int, float], ...] = ()
+    pool_q_stride: tuple[tuple[int, int, int], ...] = ()
+    pool_kvq_kernel: tuple[int, int] = (3, 3)
+    pool_kv_stride_adaptive: tuple[int, int] | None = (4, 4)
+    cls_embed_on: bool = False
+    use_abs_pos: bool = False
+    rel_pos_spatial: bool = True
+    residual_pooling: bool = True
+    dim_mul_in_att: bool = True
+    dropout_rate: float = 0.0
+
+    @staticmethod
+    def _variant(depth: int, droppath: float, stage_blocks: tuple[int, ...], kw) -> "MViTConfig":
+        base = dict(
+            depth=depth,
+            droppath_rate=droppath,
+            dim_mul=tuple((i, 2.0) for i in stage_blocks),
+            head_mul=tuple((i, 2.0) for i in stage_blocks),
+            pool_q_stride=tuple(
+                (i, 2, 2) if i in stage_blocks else (i, 1, 1) for i in range(depth)
+            ),
+        )
+        base.update(kw)
+        return MViTConfig(**base)
+
+    @staticmethod
+    def tiny(**kw) -> "MViTConfig":
+        return MViTConfig._variant(10, 0.1, (1, 3, 8), kw)
+
+    @staticmethod
+    def small(**kw) -> "MViTConfig":
+        return MViTConfig._variant(16, 0.2, (1, 3, 14), kw)
+
+    @staticmethod
+    def base(**kw) -> "MViTConfig":
+        return MViTConfig._variant(24, 0.3, (2, 5, 21), kw)
+
+
+def prepare_block_schedule(cfg: MViTConfig):
+    """Per-block (kernel/stride q, kernel/stride kv) — _prepare_mvit_configs."""
+    depth = cfg.depth
+    dim_mul = np.ones(depth + 1)
+    head_mul = np.ones(depth + 1)
+    for i, m in cfg.dim_mul:
+        dim_mul[i] = m
+    for i, m in cfg.head_mul:
+        head_mul[i] = m
+
+    pool_q = [() for _ in range(depth)]
+    stride_q = [() for _ in range(depth)]
+    for entry in cfg.pool_q_stride:
+        i = entry[0]
+        stride_q[i] = tuple(entry[1:])
+        pool_q[i] = tuple(cfg.pool_kvq_kernel)
+
+    pool_kv = [() for _ in range(depth)]
+    stride_kv = [() for _ in range(depth)]
+    if cfg.pool_kv_stride_adaptive is not None:
+        _s = list(cfg.pool_kv_stride_adaptive)
+        for i in range(depth):
+            if len(stride_q[i]) > 0:
+                _s = [max(_s[d] // stride_q[i][d], 1) for d in range(len(_s))]
+            stride_kv[i] = tuple(_s)
+            pool_kv[i] = tuple(cfg.pool_kvq_kernel)
+    return dim_mul, head_mul, pool_q, pool_kv, stride_q, stride_kv
+
+
+def _pool_out(size: int, kernel: int, stride: int, pad: int) -> int:
+    return (size + 2 * pad - kernel) // stride + 1
+
+
+def _rel_dist_index(q_size: int, k_size: int) -> np.ndarray:
+    """Static distance-index matrix into a rel-pos table (cal_rel_pos_spatial:61-76)."""
+    q_ratio = max(k_size / q_size, 1.0)
+    k_ratio = max(q_size / k_size, 1.0)
+    dist = np.arange(q_size)[:, None] * q_ratio - np.arange(k_size)[None, :] * k_ratio
+    dist += (k_size - 1) * k_ratio
+    return dist.astype(np.int64)
+
+
+class AttentionPool(nn.Module):
+    """Depthwise conv pool over the token grid (attention_pool + conv mode)."""
+
+    dim_per_head: int
+    kernel: tuple[int, int]
+    stride: tuple[int, int]
+
+    @nn.compact
+    def __call__(self, x: jax.Array, hw: tuple[int, int]):
+        # x: [B, heads, L, C]; pool each head's grid independently
+        b, h, l, c = x.shape
+        hh, ww = hw
+        pad = tuple(k // 2 for k in self.kernel)
+        t = x.reshape(b * h, hh, ww, c)
+        t = nn.Conv(
+            c,
+            self.kernel,
+            strides=self.stride,
+            padding=[(pad[0], pad[0]), (pad[1], pad[1])],
+            feature_group_count=c,
+            use_bias=False,
+            dtype=t.dtype,
+        )(t)
+        new_hw = (t.shape[1], t.shape[2])
+        t = t.reshape(b, h, new_hw[0] * new_hw[1], c)
+        t = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)(t)
+        return t, new_hw
+
+
+class MultiScaleAttention(nn.Module):
+    dim_out: int
+    num_heads: int
+    input_hw: tuple[int, int]
+    kernel_q: tuple[int, int]
+    kernel_kv: tuple[int, int]
+    stride_q: tuple[int, int]
+    stride_kv: tuple[int, int]
+    qkv_bias: bool
+    rel_pos_spatial: bool
+    residual_pooling: bool
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        b, n, _ = x.shape
+        head_dim = self.dim_out // self.num_heads
+        scale = head_dim**-0.5
+        qkv = nn.Dense(self.dim_out * 3, use_bias=self.qkv_bias, name="qkv", dtype=x.dtype)(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        hw = self.input_hw
+        q_hw, k_hw = hw, hw
+        if len(self.kernel_q) and int(np.prod(self.stride_q)) * int(np.prod(self.kernel_q)) > 1:
+            q, q_hw = AttentionPool(head_dim, self.kernel_q, self.stride_q, name="pool_q")(q, hw)
+        if len(self.kernel_kv) and int(np.prod(self.stride_kv)) * int(np.prod(self.kernel_kv)) > 1:
+            k, k_hw = AttentionPool(head_dim, self.kernel_kv, self.stride_kv, name="pool_k")(k, hw)
+            v, _ = AttentionPool(head_dim, self.kernel_kv, self.stride_kv, name="pool_v")(v, hw)
+
+        attn = jnp.einsum("bhqc,bhkc->bhqk", q * scale, k, precision=jax.lax.Precision.HIGHEST)
+
+        if self.rel_pos_spatial:
+            qh, qw = q_hw
+            kh, kw = k_hw
+            rel_dim_h = 2 * max(qh, kh) - 1
+            rel_dim_w = 2 * max(qw, kw) - 1
+            rel_pos_h = self.param(
+                "rel_pos_h", nn.initializers.truncated_normal(0.02), (rel_dim_h, head_dim)
+            )
+            rel_pos_w = self.param(
+                "rel_pos_w", nn.initializers.truncated_normal(0.02), (rel_dim_w, head_dim)
+            )
+            rh = rel_pos_h[jnp.asarray(_rel_dist_index(qh, kh))]  # [qh, kh, C]
+            rw = rel_pos_w[jnp.asarray(_rel_dist_index(qw, kw))]  # [qw, kw, C]
+            r_q = q.reshape(b, self.num_heads, qh, qw, head_dim)
+            rel_h = jnp.einsum("byhwc,hkc->byhwk", r_q, rh)
+            rel_w = jnp.einsum("byhwc,wkc->byhwk", r_q, rw)
+            attn = attn.reshape(b, self.num_heads, qh, qw, kh, kw)
+            attn = attn + rel_h[..., :, None] + rel_w[..., None, :]
+            attn = attn.reshape(b, self.num_heads, qh * qw, kh * kw)
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bhkc->bhqc", attn, v, precision=jax.lax.Precision.HIGHEST)
+        if self.residual_pooling:
+            out = out + q
+        out = out.transpose(0, 2, 1, 3).reshape(b, -1, self.dim_out)
+        out = nn.Dense(self.dim_out, name="proj", dtype=out.dtype)(out)
+        return out, q_hw
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=x.dtype)(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.out, dtype=x.dtype)(x)
+
+
+def drop_path(x: jax.Array, rate: float, deterministic: bool, rng) -> jax.Array:
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jnp.floor(keep + jax.random.uniform(rng, (x.shape[0],) + (1,) * (x.ndim - 1)))
+    return x / keep * mask
+
+
+class MultiScaleBlock(nn.Module):
+    dim: int
+    dim_out: int
+    num_heads: int
+    input_hw: tuple[int, int]
+    mlp_ratio: float
+    qkv_bias: bool
+    droppath: float
+    kernel_q: tuple[int, int]
+    kernel_kv: tuple[int, int]
+    stride_q: tuple[int, int]
+    stride_kv: tuple[int, int]
+    rel_pos_spatial: bool
+    residual_pooling: bool
+    dim_mul_in_att: bool
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool):
+        att_dim = self.dim_out if self.dim_mul_in_att else self.dim
+        x_norm = nn.LayerNorm(epsilon=1e-6, name="norm1", dtype=jnp.float32)(x)
+        x_block, new_hw = MultiScaleAttention(
+            dim_out=att_dim,
+            num_heads=self.num_heads,
+            input_hw=self.input_hw,
+            kernel_q=self.kernel_q,
+            kernel_kv=self.kernel_kv,
+            stride_q=self.stride_q,
+            stride_kv=self.stride_kv,
+            qkv_bias=self.qkv_bias,
+            rel_pos_spatial=self.rel_pos_spatial,
+            residual_pooling=self.residual_pooling,
+            name="attn",
+        )(x_norm)
+
+        if self.dim_mul_in_att and self.dim != self.dim_out:
+            x = nn.Dense(self.dim_out, name="proj", dtype=x.dtype)(x_norm)
+        # skip-path pooling (max pool, kernel = stride+1)
+        if len(self.stride_q) and int(np.prod(self.stride_q)) > 1:
+            ks = tuple(s + 1 if s > 1 else s for s in self.stride_q)
+            pad = tuple(k // 2 for k in ks)
+            b, n, c = x.shape
+            h, w = self.input_hw
+            t = x.reshape(b, h, w, c)
+            t = nn.max_pool(
+                t, ks, strides=self.stride_q, padding=[(pad[0], pad[0]), (pad[1], pad[1])]
+            )
+            x = t.reshape(b, -1, c)
+
+        rng = self.make_rng("dropout") if train and self.droppath > 0 else None
+        x = x + drop_path(x_block, self.droppath, not train, rng)
+        x_norm2 = nn.LayerNorm(epsilon=1e-6, name="norm2", dtype=jnp.float32)(x)
+        x_mlp = Mlp(int(att_dim * self.mlp_ratio), self.dim_out, name="mlp")(x_norm2)
+        if not self.dim_mul_in_att and self.dim != self.dim_out:
+            x = nn.Dense(self.dim_out, name="proj", dtype=x.dtype)(x_norm2)
+        rng2 = self.make_rng("dropout") if train and self.droppath > 0 else None
+        x = x + drop_path(x_mlp, self.droppath, not train, rng2)
+        return x, new_hw
+
+
+class MViT(nn.Module):
+    """Token trunk: [B, H, W, C_in] image/spectrogram -> [B, N_final, C_final].
+
+    Callers pool (mean over tokens — src/encoder/mast.py:229) or classify.
+    """
+
+    cfg: MViTConfig
+    input_hw: tuple[int, int]  # spatial size of the input (pre-patchify)
+    in_chans: int = 1
+    final_norm: bool = True  # MAST's reference forward skips it (mast.py:227)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        cfg = self.cfg
+        pk, ps, pp = cfg.patch_kernel, cfg.patch_stride, cfg.patch_padding
+        x = nn.Conv(
+            cfg.embed_dim,
+            pk,
+            strides=ps,
+            padding=[(pp[0], pp[0]), (pp[1], pp[1])],
+            name="patch_embed",
+            dtype=x.dtype,
+        )(x)
+        h, w = x.shape[1], x.shape[2]
+        x = x.reshape(x.shape[0], h * w, cfg.embed_dim)
+
+        if cfg.use_abs_pos:
+            pos = self.param(
+                "pos_embed", nn.initializers.truncated_normal(0.02), (1, h * w, cfg.embed_dim)
+            )
+            x = x + pos
+
+        dim_mul, head_mul, pool_q, pool_kv, stride_q, stride_kv = prepare_block_schedule(cfg)
+        dpr = np.linspace(0, cfg.droppath_rate, cfg.depth)
+
+        embed_dim = cfg.embed_dim
+        num_heads = cfg.num_heads
+        hw = (h, w)
+        for i in range(cfg.depth):
+            num_heads = round_width(num_heads, head_mul[i])
+            if cfg.dim_mul_in_att:
+                dim_out = round_width(embed_dim, dim_mul[i], divisor=round_width(num_heads, head_mul[i]))
+            else:
+                dim_out = round_width(embed_dim, dim_mul[i + 1], divisor=round_width(num_heads, head_mul[i + 1]))
+            x, hw = MultiScaleBlock(
+                dim=embed_dim,
+                dim_out=dim_out,
+                num_heads=num_heads,
+                input_hw=hw,
+                mlp_ratio=cfg.mlp_ratio,
+                qkv_bias=cfg.qkv_bias,
+                droppath=float(dpr[i]),
+                kernel_q=pool_q[i],
+                kernel_kv=pool_kv[i],
+                stride_q=stride_q[i],
+                stride_kv=stride_kv[i],
+                rel_pos_spatial=cfg.rel_pos_spatial,
+                residual_pooling=cfg.residual_pooling,
+                dim_mul_in_att=cfg.dim_mul_in_att,
+                name=f"block{i}",
+            )(x, train)
+            embed_dim = dim_out
+
+        if self.final_norm:
+            x = nn.LayerNorm(epsilon=1e-6, name="norm", dtype=jnp.float32)(x)
+        return x

@@ -1,0 +1,103 @@
+"""SS-MAST: MoCo contrastive pretraining of the MAST spectrogram transformer.
+
+Reference behavior: src/upstream/ssmast/upstream_expert.py — query/key
+MASTWithHead encoders (MViTv2 trunk + Linear(d -> 256), models_msn.py:167),
+65536-key queue, symmetric InfoNCE (both view orders, each enqueueing,
+training_step:316-340), key encoder updated with the cosine momentum
+schedule m(e) = 1 - 0.5 (1 + cos(pi e / 200)) (1 - 0.99)
+(extras/mast_new/mast/utils.py:55-57, applied with epoch+1), AdamW.
+
+The epoch for the momentum schedule derives from a step counter carried in
+the SSL state and ``steps_per_epoch`` (config), keeping the loss pure.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax.core import FrozenDict
+
+from audiossl_tpu.models.mast import MASTWithHead
+from audiossl_tpu.objectives.api import LossAux, register
+from audiossl_tpu.objectives.delores_m import info_nce, queue_update
+from audiossl_tpu.ops.stats import l2_normalize
+
+
+class MocoV3State(NamedTuple):
+    params_k: Any
+    queue: jax.Array
+    queue_ptr: jax.Array
+    step: jax.Array  # for the epoch-indexed momentum schedule
+
+
+def cosine_momentum(epoch: jax.Array, base: float = 0.99, total_epochs: int = 200) -> jax.Array:
+    return 1.0 - 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / total_epochs)) * (1.0 - base)
+
+
+@register("ssmast")
+class SSMast:
+    def __init__(self, config: dict[str, Any], axis_name: str | None = "data"):
+        pre = config["pretrain"]
+        self.axis_name = axis_name
+        self.emb_dim = int(pre.get("contrastive_dim", 256))
+        self.num_negatives = int(pre.get("num_negatives", 65536))
+        self.temperature = float(pre.get("softmax_temperature", 0.07))
+        self.momentum_base = float(pre.get("encoder_momentum", 0.99))
+        self.momentum_epochs = int(pre.get("momentum_total_epochs", 200))
+        self.steps_per_epoch = int(pre.get("steps_per_epoch", 1000))
+        inp = pre["input"]
+        self.encoder = MASTWithHead(
+            output_dim=self.emb_dim,
+            input_fdim=int(inp.get("n_mels", 128)),
+            input_tdim=int(inp.get("target_length", 1024)),
+            model_size=str(pre.get("model_size", "base")),
+        )
+
+    def init(self, key: jax.Array, sample_views):
+        kp, kd, kq = jax.random.split(key, 3)
+        variables = self.encoder.init({"params": kp, "dropout": kd}, sample_views[0], False)
+        params = {"encoder": variables["params"]}
+        batch_stats = {"encoder": variables.get("batch_stats", FrozenDict())}
+        queue = jax.random.normal(kq, (self.emb_dim, self.num_negatives))
+        queue = queue / jnp.linalg.norm(queue, axis=0, keepdims=True)
+        ssl = MocoV3State(
+            params_k=jax.tree.map(jnp.copy, params["encoder"]),
+            queue=queue,
+            queue_ptr=jnp.zeros((), jnp.int32),
+            step=jnp.zeros((), jnp.int32),
+        )
+        return params, batch_stats, ssl
+
+    def _encode(self, params, v, key, train):
+        return self.encoder.apply({"params": params}, v, train, rngs={"dropout": key})
+
+    def loss(self, params, batch_stats, ssl_state: MocoV3State, views, key, train=True, axis_name=None):
+        v1, v2 = views[:2]
+        keys = jax.random.split(key, 4)
+
+        epoch = ssl_state.step // self.steps_per_epoch
+        m = cosine_momentum((epoch + 1).astype(jnp.float32), self.momentum_base, self.momentum_epochs)
+        params_k = jax.tree.map(
+            lambda pk, pq: m * pk + (1.0 - m) * jax.lax.stop_gradient(pq),
+            ssl_state.params_k,
+            params["encoder"],
+        )
+
+        queue, ptr = ssl_state.queue, ssl_state.queue_ptr
+        total = 0.0
+        for i, (vq, vk) in enumerate(((v1, v2), (v2, v1))):
+            q = l2_normalize(self._encode(params["encoder"], vq, keys[2 * i], train), axis=1)
+            k = jax.lax.stop_gradient(
+                l2_normalize(self._encode(params_k, vk, keys[2 * i + 1], train), axis=1)
+            )
+            total = total + info_nce(q, k, queue, self.temperature)
+            queue, ptr = queue_update(queue, ptr, k, axis_name)
+
+        new_ssl = MocoV3State(params_k=params_k, queue=queue, queue_ptr=ptr, step=ssl_state.step + 1)
+        metrics = {"train_loss": total, "moco_momentum": m}
+        return total, LossAux(batch_stats=batch_stats, ssl_state=new_ssl, metrics=metrics)
+
+    def encoder_variables(self, params, batch_stats):
+        # MAST trunk only (under the MASTWithHead wrapper)
+        return {"params": params["encoder"]["mast"], "batch_stats": FrozenDict()}

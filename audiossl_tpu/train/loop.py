@@ -50,12 +50,13 @@ def train_upstream(
         batch = n_dev * max(1, batch // n_dev)
         log.warning("batch_size adjusted to %d to divide %d devices", batch, n_dev)
 
-    objective = get_objective(upstream)(config)
-    labeled = bool(getattr(objective, "labeled", False))
+    # loader first: objectives like ssmast read steps_per_epoch from config
+    labeled_cls = get_objective(upstream)
+    labeled = bool(getattr(labeled_cls, "labeled", False))
     clip = cfgmod.clip_samples(config)
-    mel_cfg = LogMelConfig(
-        sample_rate=int(pre["input"]["sampling_rate"]), n_mels=int(pre["input"]["n_mels"])
-    )
+    from audiossl_tpu.frontend import build_frontend
+
+    mel_cfg = build_frontend(pre["input"])
     loader = ManifestLoader(
         input_csv,
         batch_size=batch,
@@ -65,6 +66,8 @@ def train_upstream(
         num_workers=int(run.get("num_dataloader_workers", 8)),
         seed=seed,
     )
+    pre["steps_per_epoch"] = max(len(loader), 1)
+    objective = labeled_cls(config)
     pipeline = AugmentPipeline(AugmentConfig.from_dict(pre), epoch_samples=loader.num_samples)
 
     epochs = int(run.get("epochs", 1))

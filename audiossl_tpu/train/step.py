@@ -23,7 +23,8 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from audiossl_tpu.data.augment import AugmentPipeline
-from audiossl_tpu.frontend.stft import LogMelConfig, log_mel
+from audiossl_tpu.frontend import FrontendSpec
+from audiossl_tpu.frontend.stft import LogMelConfig
 from audiossl_tpu.ops.stats import l2_normalize
 from audiossl_tpu.parallel.mesh import DATA_AXIS
 from audiossl_tpu.train.state import TrainState
@@ -38,18 +39,27 @@ def _global(aug_state):
     return jax.tree.map(lambda a: a[None], aug_state)
 
 
+def as_frontend(cfg) -> FrontendSpec:
+    if isinstance(cfg, FrontendSpec):
+        return cfg
+    if isinstance(cfg, LogMelConfig):
+        return FrontendSpec(kind="logmel", n_mels=cfg.n_mels, sample_rate=cfg.sample_rate)
+    raise TypeError(f"unsupported frontend config {type(cfg)}")
+
+
 def prepare_views(
     pipeline: AugmentPipeline,
-    mel_cfg: LogMelConfig,
+    mel_cfg,
     normalization: str,
     aug_state,
     waves: jax.Array,
     key: jax.Array,
 ):
     """waveforms [B, L] -> (aug_state', v1, v2) with views in NHWC [B, F, T, 1]."""
+    frontend = as_frontend(mel_cfg)
     if normalization == "l2":
         waves = l2_normalize(waves, axis=-1)
-    lms = log_mel(waves, mel_cfg)[:, None]  # [B, 1, F, T]
+    lms = frontend(waves)[:, None]  # [B, 1, F, T]
     aug_state, v1, v2 = pipeline(aug_state, lms, key)
     to_nhwc = lambda v: jnp.transpose(v, (0, 2, 3, 1))
     return aug_state, to_nhwc(v1), to_nhwc(v2)
@@ -67,6 +77,7 @@ def make_train_step(
 ) -> Callable[[TrainState, jax.Array], tuple[TrainState, dict]]:
     """Build the jitted step. ``labeled`` passes per-clip labels through to the
     objective (UnFuSeD pseudo-label training, SURVEY.md §2.1)."""
+    mel_cfg = as_frontend(mel_cfg)
 
     def step_fn(state: TrainState, waves: jax.Array, labels: jax.Array | None):
         key = jax.random.fold_in(state.rng, state.step)
@@ -133,6 +144,7 @@ def init_train_state(
     labeled: bool = False,
 ) -> TrainState:
     """Initialize params/state from a dummy batch (shapes only)."""
+    mel_cfg = as_frontend(mel_cfg)
     n_shards = mesh.devices.size
     n_frames = mel_cfg.num_frames(clip_samples)
     aug_local = pipeline.init_state(mel_cfg.n_mels, n_frames)
