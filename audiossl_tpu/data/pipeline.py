@@ -45,9 +45,14 @@ class ManifestLoader:
         file_col: str = "files",
         label_col: str = "label",
         labels_map: dict | None = None,
+        path_prefix: str | None = None,
     ):
         self.df = pd.read_csv(csv_path)
         self.files = self.df[file_col].tolist()
+        if path_prefix:
+            import os
+
+            self.files = [os.path.join(path_prefix, f) for f in self.files]
         self.labels = None
         if labeled:
             # reuse the train split's mapping for valid/test (train_downstream.py:59)

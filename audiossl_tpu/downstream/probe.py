@@ -34,24 +34,42 @@ log = logging.getLogger("audiossl_tpu.downstream")
 
 
 def _build_loaders(config, args):
+    from audiossl_tpu.downstream.tasks import get_task
+
     ds = config["downstream"]
     sr = int(ds["input"]["sampling_rate"])
-    clip = int(float(config["run"].get("duration", 1)) * sr)
+    file_col, labels_map = "wav", None
+    train_csv, test_csv, valid_csv = args.get("train_csv"), args.get("test_csv"), args.get("valid_csv")
+    duration = float(config["run"].get("duration", 1))
+    task = get_task(str(args.get("task", "")))
+    prefix = None
+    if task is not None:
+        # LAPE task registry supplies defaults (CSV layout, label vocab, window)
+        t_train, t_test, t_valid = task.resolve(args.get("data_root"))
+        train_csv, test_csv = train_csv or t_train, test_csv or t_test
+        valid_csv = valid_csv or t_valid
+        file_col = task.file_col
+        labels_map = task.labels
+        duration = task.duration
+        import os
+
+        prefix = os.path.dirname(train_csv)  # AudioPath is root-relative
+    clip = int(duration * sr)
     batch = int(config["run"]["batch_size"])
+    workers = int(config["run"].get("num_dataloader_workers", 8))
     train = ManifestLoader(
-        args["train_csv"], batch, clip, sr, labeled=True, shuffle=True,
-        num_workers=int(config["run"].get("num_dataloader_workers", 8)), file_col="wav", seed=1,
+        train_csv, batch, clip, sr, labeled=True, shuffle=True,
+        num_workers=workers, file_col=file_col, seed=1, labels_map=labels_map, path_prefix=prefix,
     )
     test = ManifestLoader(
-        args["test_csv"], batch, clip, sr, labeled=True, shuffle=False, drop_last=False,
-        num_workers=int(config["run"].get("num_dataloader_workers", 8)), file_col="wav",
-        labels_map=train.label_to_id,
+        test_csv, batch, clip, sr, labeled=True, shuffle=False, drop_last=False,
+        num_workers=workers, file_col=file_col, labels_map=train.label_to_id, path_prefix=prefix,
     )
     valid = None
-    if args.get("valid_csv"):
+    if valid_csv:
         valid = ManifestLoader(
-            args["valid_csv"], batch, clip, sr, labeled=True, shuffle=False, drop_last=False,
-            num_workers=4, file_col="wav", labels_map=train.label_to_id,
+            valid_csv, batch, clip, sr, labeled=True, shuffle=False, drop_last=False,
+            num_workers=4, file_col=file_col, labels_map=train.label_to_id, path_prefix=prefix,
         )
     return train, valid, test, clip
 

@@ -25,6 +25,7 @@ def get_args():
     parser.add_argument("--encoder", type=str, default="AudioNTT2020Task6")
     parser.add_argument("--freeze", action="store_true", help="freeze the encoder (linear probe)")
     parser.add_argument("--exp_dir", default="./exp", type=Path, help="experiment root directory")
+    parser.add_argument("--data_root", type=str, default=None, help="LAPE task data root (AUDIOSSL_DATA_ROOT)")
     parser.add_argument("--upstream", type=str, default="delores_m")
     parser.add_argument("-c", "--config", metavar="CONFIG_PATH", default=None)
     parser.add_argument("--epochs", type=int, default=None, help="override config run.epochs")
