@@ -87,9 +87,23 @@ class ManifestLoader:
         n_batches = len(self)
         rng = np.random.default_rng((self.seed, epoch))
 
+        from audiossl_tpu.data import native
+
+        use_native = native.available()
+
         def make_batch(b: int):
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-            waves = np.stack([self._load_one(i, rng) for i in idxs]).astype(np.float32)
+            if use_native:
+                # C++ decode+window pool (data/_native/wavloader.cpp)
+                waves = native.load_batch(
+                    [self.files[i] for i in idxs],
+                    self.clip_samples,
+                    self.sample_rate,
+                    seed=(self.seed << 20) ^ (epoch << 10) ^ b,
+                    n_threads=max(self.num_workers, 1),
+                )
+            else:
+                waves = np.stack([self._load_one(i, rng) for i in idxs]).astype(np.float32)
             if self.labels is not None:
                 return waves, self.labels[idxs]
             return waves, None

@@ -38,7 +38,13 @@ class FrontendSpec:
             if self.target_length:
                 fb = pad_or_trim_frames(fb, self.target_length)
             return jnp.swapaxes(fb, -1, -2)  # [B, M, T]
-        return log_mel(waves, LogMelConfig(sample_rate=self.sample_rate, n_mels=self.n_mels))
+        cfg = LogMelConfig(sample_rate=self.sample_rate, n_mels=self.n_mels)
+        if jax.default_backend() == "tpu":
+            # fused Pallas kernel: ~1.8x the XLA path on v5e (PERF.md)
+            from audiossl_tpu.frontend.pallas_stft import log_mel_fused
+
+            return log_mel_fused(waves, cfg)
+        return log_mel(waves, cfg)
 
 
 def build_frontend(input_cfg: dict[str, Any]) -> FrontendSpec:

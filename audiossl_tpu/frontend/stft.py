@@ -48,6 +48,10 @@ class LogMelConfig:
     htk: bool = False
     norm: str | None = "slaney"
     power: float = 2.0
+    # 'dense' = one [n_fft, 2*(n_fft/2+1)] MXU matmul — measured at the f32
+    # matmul roofline on v5e (~17 TF/s) and faster end-to-end than 'ct', the
+    # two-stage Cooley-Tukey variant whose K=8 stage is lane-layout-hostile.
+    algo: str = "dense"
 
     @property
     def win(self) -> int:
@@ -74,27 +78,106 @@ def _constants(cfg: LogMelConfig) -> tuple[np.ndarray, np.ndarray]:
 
 
 def frame_signal(wave: jax.Array, n_fft: int, hop: int, center: bool) -> jax.Array:
-    """[..., n] -> [..., n_frames, n_fft] overlapping frames (strided gather)."""
+    """[..., n] -> [..., n_frames, n_fft] overlapping frames.
+
+    Gather-free: view the signal as hop-sized rows; frame i is rows
+    i .. i+ceil(n_fft/hop)-1 concatenated (every frame start is hop-aligned),
+    so framing is a reshape + a handful of static slices — layout-friendly on
+    TPU where a [n_frames, n_fft] strided gather is not.
+    """
     if center:
         pad = n_fft // 2
         wave = jnp.pad(wave, [(0, 0)] * (wave.ndim - 1) + [(pad, pad)], mode="reflect")
     n = wave.shape[-1]
     n_frames = 1 + (n - n_fft) // hop
-    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
-    return jnp.take(wave, jnp.asarray(idx), axis=-1)
+    nb = -(-n_fft // hop)  # hop-rows spanned by one frame
+    total_rows = n_frames + nb
+    wave = jnp.pad(wave, [(0, 0)] * (wave.ndim - 1) + [(0, total_rows * hop - n)])
+    rows = wave.reshape(*wave.shape[:-1], total_rows, hop)
+    parts = [rows[..., j : j + n_frames, :] for j in range(nb)]
+    return jnp.concatenate(parts, axis=-1)[..., :n_fft]
+
+
+def _power_spectrum_dense(frames: jax.Array, cfg: LogMelConfig) -> jax.Array:
+    """One dense [n_fft, 2 * n_bins] matmul (window folded in)."""
+    bank, _ = _constants(cfg)
+    n_bins = cfg.n_fft // 2 + 1
+    spec = jnp.matmul(frames, jnp.asarray(bank), precision=jax.lax.Precision.HIGHEST)
+    return jnp.square(spec[..., :n_bins]) + jnp.square(spec[..., n_bins:])
+
+
+def _ct_constants(cfg: LogMelConfig, n1: int, n2: int):
+    """Constants for the two-stage Cooley-Tukey DFT (n = i1 + n1 * i2)."""
+    window = melmod.hann_window(cfg.win).astype(np.float64)
+    if cfg.win < cfg.n_fft:
+        lpad = (cfg.n_fft - cfg.win) // 2
+        window = np.pad(window, (lpad, cfg.n_fft - cfg.win - lpad))
+    # stage 1: DFT-n2 over i2 for each i1
+    q = np.arange(n2)
+    ang2 = 2.0 * np.pi * np.outer(q, q) / n2
+    d2c, d2s = np.cos(ang2), -np.sin(ang2)  # [n2, n2]
+    # twiddle W_N^{i1 k2}
+    i1 = np.arange(n1)[:, None]
+    k2 = np.arange(n2)[None, :]
+    angt = 2.0 * np.pi * i1 * k2 / (n1 * n2)
+    twc, tws = np.cos(angt), -np.sin(angt)  # [n1, n2]
+    # stage 2: DFT-n1 over i1, only k1 = 0 .. n1//2 (rfft upper half via symmetry)
+    k1_max = n1 // 2 + 1
+    k1 = np.arange(k1_max)[None, :]
+    ang1 = 2.0 * np.pi * np.arange(n1)[:, None] * k1 / n1
+    d1c, d1s = np.cos(ang1), -np.sin(ang1)  # [n1, k1_max]
+    f32 = lambda a: jnp.asarray(a.astype(np.float32))
+    return f32(window), f32(d2c), f32(d2s), f32(twc), f32(tws), f32(d1c), f32(d1s)
+
+
+def _power_spectrum_ct(frames: jax.Array, cfg: LogMelConfig, n1: int = 128) -> jax.Array:
+    """Two-stage Cooley-Tukey power spectrum: ~3.7x fewer FLOPs than the dense
+    DFT, with the large stage a full-K MXU matmul.
+
+    X[k2 + n2*k1] = DFT_n1 over i1 of (twiddle * DFT_n2 over i2 of x[i1 + n1*i2]).
+    Only k1 <= n1/2 is computed; the rest follows from real-input conjugate
+    symmetry X[N - k] = conj(X[k]).
+    """
+    n = cfg.n_fft
+    n2 = n // n1
+    window, d2c, d2s, twc, tws, d1c, d1s = _ct_constants(cfg, n1, n2)
+    hp = jax.lax.Precision.HIGHEST
+
+    xw = frames * window  # [..., F, n]
+    xr = xw.reshape(*xw.shape[:-1], n2, n1)  # x[i2, i1] (i2 major)
+    # stage 1 (tiny K=n2 contraction): A[i1, k2]
+    a_re = jnp.einsum("...qi,qk->...ik", xr, d2c, precision=hp)
+    a_im = jnp.einsum("...qi,qk->...ik", xr, d2s, precision=hp)
+    # twiddle (elementwise complex multiply)
+    b_re = a_re * twc - a_im * tws
+    b_im = a_re * tws + a_im * twc
+    # stage 2 (K=n1 MXU matmul): X[k1, k2] for k1 in [0, n1/2]
+    x_re = (
+        jnp.einsum("...ik,im->...mk", b_re, d1c, precision=hp)
+        - jnp.einsum("...ik,im->...mk", b_im, d1s, precision=hp)
+    )
+    x_im = (
+        jnp.einsum("...ik,im->...mk", b_re, d1s, precision=hp)
+        + jnp.einsum("...ik,im->...mk", b_im, d1c, precision=hp)
+    )
+    power_half = jnp.square(x_re) + jnp.square(x_im)  # [..., n1/2+1, n2] → k = k2 + n2*k1
+    flat = power_half.reshape(*power_half.shape[:-2], -1)  # k2-minor? No: [m, k] -> m*n2 + k
+    # layout: index (k1, k2) at position k1*n2 + k2 == k. ✓ for k ≤ n/2 we need
+    # k1 ≤ n1/2; positions 0 .. (n1/2+1)*n2 - 1 cover k = 0 .. n/2 + (n2-1).
+    return flat[..., : n // 2 + 1]
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def log_mel(wave: jax.Array, cfg: LogMelConfig = LogMelConfig()) -> jax.Array:
     """[..., n_samples] float -> [..., n_mels, n_frames] log-mel (natural log)."""
-    bank, mfb_t = (jnp.asarray(a) for a in _constants(cfg))
-    n_bins = cfg.n_fft // 2 + 1
-
+    _, mfb_t = _constants(cfg)
     frames = frame_signal(wave.astype(jnp.float32), cfg.n_fft, cfg.hop, cfg.center)
-    spec = jnp.matmul(frames, bank, precision=jax.lax.Precision.HIGHEST)
-    power = jnp.square(spec[..., :n_bins]) + jnp.square(spec[..., n_bins:])
-    if cfg.power != 2.0:
-        power = jnp.power(jnp.sqrt(power), cfg.power)
-    melspec = jnp.matmul(power + EPS64, mfb_t, precision=jax.lax.Precision.HIGHEST)
+    if cfg.algo == "ct" and cfg.power == 2.0 and cfg.n_fft % 128 == 0 and cfg.n_fft // 128 in (2, 4, 8, 16):
+        power = _power_spectrum_ct(frames, cfg)
+    else:
+        power = _power_spectrum_dense(frames, cfg)
+        if cfg.power != 2.0:
+            power = jnp.power(jnp.sqrt(power), cfg.power)
+    melspec = jnp.matmul(power + EPS64, jnp.asarray(mfb_t), precision=jax.lax.Precision.HIGHEST)
     out = jnp.log(melspec + EPS32)
     return jnp.swapaxes(out, -1, -2)  # [..., n_mels, n_frames]

@@ -30,14 +30,16 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        x = nn.Conv(self.features, (3, 3), padding=1, use_bias=True, dtype=x.dtype)(x)
+        dtype = x.dtype
+        x = nn.Conv(self.features, (3, 3), padding=1, use_bias=True, dtype=dtype)(x)
+        # BN statistics in f32 (cast back so the MXU path stays low-precision)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,
             epsilon=1e-5,
             axis_name=self.axis_name if train else None,
             dtype=jnp.float32,
-        )(x)
+        )(x).astype(dtype)
         x = nn.relu(x)
         return max_pool_2x2(x)
 
@@ -46,11 +48,11 @@ def _time_tap(x: jax.Array) -> jax.Array:
     """[B, F', T', C] -> [B, F'*C] — flatten (freq, chan) then mean over time.
 
     Matches the reference tap (audiontt.py:76-93): permute to [B, T, F', C],
-    reshape to [B, T, F'*C], mean over T.
+    reshape to [B, T, F'*C], mean over T. Reduction in f32.
     """
     b, f, t, c = x.shape
     x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, t, f * c)
-    return jnp.mean(x, axis=1)
+    return jnp.mean(x.astype(jnp.float32), axis=1)
 
 
 class AudioNTT2020Task6(nn.Module):
@@ -62,10 +64,12 @@ class AudioNTT2020Task6(nn.Module):
     return_all_layers: bool = False
     axis_name: str | None = None
     dropout_rate: float = 0.3
+    compute_dtype: jnp.dtype = jnp.bfloat16  # MXU-friendly; taps/outputs return f32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         # x: [B, F, T, 1]
+        x = x.astype(self.compute_dtype)
         taps = []
         for _ in range(3):
             x = ConvBlock(axis_name=self.axis_name)(x, train)
@@ -77,7 +81,7 @@ class AudioNTT2020Task6(nn.Module):
         x = nn.relu(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         x = nn.Dense(self.d, dtype=x.dtype)(x)
-        x = nn.relu(x)
+        x = nn.relu(x).astype(jnp.float32)
 
         if self.return_all_layers:
             return taps[0], taps[1], taps[2], x

@@ -48,23 +48,37 @@ def running_norm_apply(state: RunningNormState, x: jax.Array) -> tuple[RunningNo
     m1 = jnp.mean(x, axis=red_axes).astype(jnp.float32)  # per-sample mean [B]
     m2 = jnp.mean(jnp.square(x), axis=red_axes).astype(jnp.float32)  # per-sample E[x^2] [B]
 
-    def body(carry, mom):
-        n, mu, var = carry
-        sm1, sm2 = mom
-        upd = n < state.max_update
-        # mean recursion (reference divides by n, not n+1, for n >= 1)
-        new_mu = jnp.where(n == 0, sm1, mu + (sm1 - mu) / jnp.maximum(n, 1))
-        # variance: running mean of E[(x - mu_now)^2] with the *current* mean
-        sq = sm2 - 2.0 * new_mu * sm1 + new_mu * new_mu
-        new_var = jnp.where(n == 0, sq, var + (sq - var) / jnp.maximum(n, 1))
-        n2 = jnp.where(upd, n + 1, n)
-        return (
-            n2,
-            jnp.where(upd, new_mu, mu),
-            jnp.where(upd, new_var, var),
-        ), None
+    # The reference recursion is a pair of linear recurrences
+    #   mu_k = a_k * mu_{k-1} + b_k  (a_k = 1 - 1/max(k,1), b_k = m_k / max(k,1))
+    # evaluated sample-by-sample; an associative scan computes it in log depth
+    # instead of a B-step sequential lax.scan (latency-bound on TPU).
+    k0 = state.n
+    ks = k0 + jnp.arange(b, dtype=jnp.int32)  # recursion index per sample
+    upd = ks < state.max_update
+    denom = jnp.maximum(ks, 1).astype(jnp.float32)
+    # coefficients; frozen samples (past the cap) become identity steps
+    a_mu = jnp.where(upd, jnp.where(ks == 0, 0.0, 1.0 - 1.0 / denom), 1.0)
+    b_mu = jnp.where(upd, jnp.where(ks == 0, m1, m1 / denom), 0.0)
 
-    (n, mean, var), _ = jax.lax.scan(body, (state.n, state.mean, state.var), (m1, m2), length=b)
+    def compose(left, right):
+        a1, b1 = left
+        a2, b2 = right
+        return a2 * a1, a2 * b1 + b2
+
+    A_mu, B_mu = jax.lax.associative_scan(compose, (a_mu, b_mu))
+    mus = A_mu * state.mean + B_mu  # mu AFTER absorbing each sample [B]
+
+    # variance recursion uses the *current* mean at each step:
+    #   sq_k = m2_k - 2 mu_k m1_k + mu_k^2 ; var_k = a_k var_{k-1} + sq_k-term
+    sq = m2 - 2.0 * mus * m1 + mus * mus
+    a_v = jnp.where(upd, jnp.where(ks == 0, 0.0, 1.0 - 1.0 / denom), 1.0)
+    b_v = jnp.where(upd, jnp.where(ks == 0, sq, sq / denom), 0.0)
+    A_v, B_v = jax.lax.associative_scan(compose, (a_v, b_v))
+    vars_ = A_v * state.var + B_v
+
+    n = jnp.minimum(k0 + jnp.sum(upd.astype(jnp.int32)), state.max_update)
+    n = jnp.maximum(n, k0)  # max_update may be below k0 already
+    mean, var = mus[-1], vars_[-1]
     std = jnp.maximum(jnp.sqrt(jnp.maximum(var, 0.0)), EPS)
     return state._replace(n=n, mean=mean, var=var), (x - mean) / std
 

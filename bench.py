@@ -17,10 +17,10 @@ import time
 
 import numpy as np
 
-BATCH = 256
+BATCH = 1024
 CLIP = 15200
 WARMUP = 3
-ITERS = 10
+ITERS = 30
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
 
 
@@ -29,16 +29,16 @@ def measure_tpu() -> float:
     import jax.numpy as jnp
 
     from audiossl_tpu.data.augment import AugmentConfig, AugmentPipeline
-    from audiossl_tpu.frontend.stft import LogMelConfig
+    from audiossl_tpu.frontend import FrontendSpec
     from audiossl_tpu.models.audiontt import AudioNTT2020Task6
     from audiossl_tpu.train.step import prepare_views
 
-    mel_cfg = LogMelConfig()
+    frontend = FrontendSpec(kind="logmel", n_mels=64, sample_rate=16000)
     pipe = AugmentPipeline(
         AugmentConfig(mixup_ratio=0.4, rrc=True, normalization="mean_var"), epoch_samples=10**6
     )
     model = AudioNTT2020Task6(n_mels=64, d=2048, return_all_layers=False)
-    n_frames = mel_cfg.num_frames(CLIP)
+    n_frames = frontend.num_frames(CLIP)
     aug_state = pipe.init_state(64, n_frames)
 
     rng = np.random.default_rng(0)
@@ -48,18 +48,20 @@ def measure_tpu() -> float:
 
     @jax.jit
     def pipeline(aug_state, waves, key):
-        aug_state, v1, v2 = prepare_views(pipe, mel_cfg, "mean_var", aug_state, waves, key)
+        aug_state, v1, v2 = prepare_views(pipe, frontend, "mean_var", aug_state, waves, key)
         emb = model.apply(variables, v1, False)
-        return aug_state, emb
+        # device-side scalarization: fetching big arrays through the TPU
+        # tunnel would time the transfer, not the compute
+        return aug_state, jnp.sum(emb)
 
     key = jax.random.key(1)
     for _ in range(WARMUP):
         aug_state, emb = pipeline(aug_state, waves, key)
-    jax.block_until_ready(emb)
+    float(emb)
     t0 = time.perf_counter()
     for _ in range(ITERS):
         aug_state, emb = pipeline(aug_state, waves, key)
-    jax.block_until_ready(emb)
+    float(emb)  # host fetch of the scalar forces full completion
     dt = (time.perf_counter() - t0) / ITERS
     return BATCH / dt
 

@@ -84,3 +84,26 @@ class TestLogMel:
         ours = np.asarray(log_mel(wave, cfg))
         ref = oracle.log_mel_oracle(wave, n_mels=cfg.n_mels, hop=cfg.hop)
         assert np.max(np.abs(ours - ref)) <= 1e-3
+
+    def test_ct_algo_matches_oracle(self):
+        wave = _rand_wave()
+        ours = np.asarray(log_mel(wave, LogMelConfig(algo="ct")))
+        ref = oracle.log_mel_oracle(wave)
+        assert np.max(np.abs(ours - ref)) <= 1e-3
+
+    def test_pallas_kernel_matches_xla(self):
+        from audiossl_tpu.frontend.pallas_stft import log_mel_fused
+
+        waves = np.stack([_rand_wave() for _ in range(4)])
+        a = np.asarray(log_mel(waves))
+        b = np.asarray(log_mel_fused(waves, interpret=True))
+        assert np.max(np.abs(a - b)) <= 1e-5
+
+    def test_pallas_kernel_row_padding(self):
+        from audiossl_tpu.frontend.pallas_stft import log_mel_fused
+
+        # 3 clips x 96 frames = 288 rows, not a multiple of the tile
+        waves = np.stack([_rand_wave() for _ in range(3)])
+        a = np.asarray(log_mel(waves))
+        b = np.asarray(log_mel_fused(waves, frames_per_tile=256, interpret=True))
+        assert np.max(np.abs(a - b)) <= 1e-5
