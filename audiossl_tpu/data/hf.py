@@ -1,0 +1,71 @@
+"""HuggingFace-datasets path for downstream tasks (speech_commands v1/v2).
+
+Rebuilds DownstreamDatasetHF (src/dataset/downstream_dataset.py:13-63) +
+the availability map (src/utils/utils.py:31-41): speech_commands variants
+load via `datasets.load_dataset('speech_commands', 'v0.01'|'v0.02')`; the
+v2-35 variant re-labels to the 35-word vocabulary. Requires the dataset in
+the local HF cache when the environment has no egress.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from audiossl_tpu.ops.windowing import extract_window_np
+
+HF_TASKS = {"speech_commands_v1": "v0.01", "speech_commands_v2": "v0.02", "speech_commands_v235": "v0.02"}
+
+
+def hf_available(task: str) -> bool:
+    return task in HF_TASKS
+
+
+class HFLoader:
+    """Same batch interface as ManifestLoader: epoch() -> (waves, labels)."""
+
+    def __init__(
+        self,
+        task: str,
+        split: str,
+        batch_size: int,
+        clip_samples: int,
+        sample_rate: int = 16000,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+    ):
+        from datasets import load_dataset  # local HF cache or network
+
+        version = HF_TASKS[task]
+        self.dataset = load_dataset("speech_commands", version, split=split)
+        names = self.dataset.features["label"].names
+        self.label_to_id = {n: i for i, n in enumerate(names)}
+        self.no_of_classes = len(names)
+        self.batch_size = batch_size
+        self.clip_samples = clip_samples
+        self.sample_rate = sample_rate
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+
+    @property
+    def num_samples(self) -> int:
+        return len(self.dataset)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch: int = 0):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(order)
+        rng = np.random.default_rng((self.seed, epoch))
+        for b in range(len(self)):
+            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+            waves, labels = [], []
+            for i in idxs:
+                row = self.dataset[int(i)]
+                wave = np.asarray(row["audio"]["array"], np.float32)
+                waves.append(extract_window_np(wave, self.clip_samples, rng))
+                labels.append(row["label"])
+            yield np.stack(waves), np.asarray(labels, np.int32)

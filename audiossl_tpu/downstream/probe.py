@@ -41,7 +41,19 @@ def _build_loaders(config, args):
     file_col, labels_map = "wav", None
     train_csv, test_csv, valid_csv = args.get("train_csv"), args.get("test_csv"), args.get("valid_csv")
     duration = float(config["run"].get("duration", 1))
-    task = get_task(str(args.get("task", "")))
+    task_name = str(args.get("task", ""))
+    # HF-hosted tasks when no CSVs given (check_downstream_hf_availability)
+    if not train_csv:
+        from audiossl_tpu.data.hf import HFLoader, hf_available
+
+        if hf_available(task_name):
+            clip = int(duration * sr)
+            batch = int(config["run"]["batch_size"])
+            train = HFLoader(task_name, "train", batch, clip, sr, shuffle=True, drop_last=True, seed=1)
+            test = HFLoader(task_name, "test", batch, clip, sr)
+            valid = HFLoader(task_name, "validation", batch, clip, sr) if args.get("valid_csv") else None
+            return train, valid, test, clip
+    task = get_task(task_name)
     prefix = None
     if task is not None:
         # LAPE task registry supplies defaults (CSV layout, label vocab, window)

@@ -45,6 +45,22 @@ class EncoderSlicer(nn.Module):
         return inst, clus
 
 
+def instance_loss(z_i: jax.Array, z_j: jax.Array, temperature: float = 0.5) -> jax.Array:
+    """SimCLR-style instance loss (extras/slicer/contrastive_loss.py:6-42):
+    2B-way contrastive over raw dot-product similarities, CE-sum / 2B.
+    Used by the standalone SLICER trainer alongside the MoCo path."""
+    b = z_i.shape[0]
+    z = jnp.concatenate([z_i, z_j], axis=0)  # [2B, D]
+    sim = jnp.matmul(z, z.T, precision=jax.lax.Precision.HIGHEST) / temperature
+    n = 2 * b
+    idx = jnp.arange(n)
+    pos = sim[idx, (idx + b) % n]
+    mask = jnp.ones((n, n), bool).at[idx, idx].set(False).at[idx, (idx + b) % n].set(False)
+    neg = jnp.where(mask, sim, -jnp.inf)
+    logits = jnp.concatenate([pos[:, None], neg], axis=1)
+    return jnp.sum(jax.nn.logsumexp(logits, axis=1) - pos) / n
+
+
 def cluster_loss(c_i: jax.Array, c_j: jax.Array, temperature: float = 1.0) -> jax.Array:
     """Contrastive loss over cluster-assignment columns (ClusterLoss.forward).
 

@@ -125,6 +125,9 @@ def train_upstream(
                 labels = shard_batch(mesh, labels)
             state, metrics = step_fn(state, waves, labels)
             loss = float(metrics["train_loss"])
+            from audiossl_tpu.utils.profiling import check_nan_loss
+
+            check_nan_loss(loss, global_step)
             batch_time.update(time.time() - t_end)
             t_end = time.time()
             global_step += 1

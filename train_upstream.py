@@ -29,6 +29,9 @@ def get_args():
 def main(args):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     from audiossl_tpu.config import load_config
+    from audiossl_tpu.parallel.launch import maybe_init_distributed
+
+    maybe_init_distributed()
 
     config = load_config(args.config, args.upstream)
     if args.epochs is not None:
