@@ -58,3 +58,38 @@ def restore_checkpoint(ckpt_dir: str, target: Any, step: int | None = None, kind
 def load_encoder(ckpt_dir: str, target_vars: Any, step: int | None = None) -> Any:
     """Load exported encoder variables (downstream transfer)."""
     return restore_checkpoint(ckpt_dir, target_vars, step, kind="encoder")
+
+
+def filter_variables(variables: Any, keep_prefixes: tuple[str, ...]) -> Any:
+    """Prefix-filtered weight surgery (NetworkCommonMixIn.load_weight,
+    src/encoder/audiontt.py:12-30): keep only subtrees whose top-level key
+    matches one of ``keep_prefixes`` (e.g. ('features', 'fc'))."""
+
+    def f(tree):
+        if isinstance(tree, dict):
+            return {k: v for k, v in tree.items() if any(k.startswith(p) for p in keep_prefixes) or isinstance(v, dict)}
+        return tree
+
+    out = {}
+    for k, v in variables.items():
+        if any(k.startswith(p) for p in keep_prefixes):
+            out[k] = v
+        elif isinstance(v, dict):
+            sub = filter_variables(v, keep_prefixes)
+            if sub:
+                out[k] = sub
+    return out
+
+
+def merge_variables(target: Any, source: Any) -> Any:
+    """Non-strict load: overwrite matching leaves of ``target`` with
+    ``source`` where paths and shapes agree (load_state_dict(strict=False))."""
+    if not isinstance(target, dict) or not isinstance(source, dict):
+        if hasattr(target, "shape") and hasattr(source, "shape") and target.shape == source.shape:
+            return source
+        return target
+    out = dict(target)
+    for k, v in source.items():
+        if k in out:
+            out[k] = merge_variables(out[k], v)
+    return out

@@ -93,3 +93,27 @@ def nmi(labels_a: np.ndarray, labels_b: np.ndarray) -> float:
     from sklearn.metrics import normalized_mutual_info_score
 
     return float(normalized_mutual_info_score(labels_a, labels_b))
+
+
+def calc_recalls(s: np.ndarray) -> dict[str, float]:
+    """Cross-modal recall@{1,5,10} from a square similarity matrix
+    (reference: extras/mast_new/mast/utilities/util.py:9-67; rows = audio,
+    columns = images/captions; the match for row i is column i)."""
+    n = s.shape[0]
+    assert s.shape == (n, n)
+    a2i_rank_cols = np.argsort(-s, axis=0)[:10]  # top-10 rows per column
+    i2a_rank_rows = np.argsort(-s, axis=1)[:, :10]  # top-10 cols per row
+    out = {}
+    a_found = np.full(n, -1)
+    i_found = np.full(n, -1)
+    for i in range(n):
+        hits_a = np.where(i2a_rank_rows[i] == i)[0]
+        hits_i = np.where(a2i_rank_cols[:, i] == i)[0]
+        if hits_a.size:
+            a_found[i] = hits_a[0]
+        if hits_i.size:
+            i_found[i] = hits_i[0]
+    for k in (1, 5, 10):
+        out[f"A_r{k}"] = float(np.mean((a_found >= 0) & (a_found < k)))
+        out[f"I_r{k}"] = float(np.mean((i_found >= 0) & (i_found < k)))
+    return out
