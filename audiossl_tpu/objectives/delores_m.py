@@ -61,6 +61,29 @@ def info_nce(q: jax.Array, k: jax.Array, queue: jax.Array, temperature: float) -
     return jnp.mean(jax.nn.logsumexp(logits, axis=1) - logits[:, 0])
 
 
+def batch_shuffle(x_local: jax.Array, key: jax.Array, axis_name: str) -> tuple[jax.Array, jax.Array]:
+    """Cross-replica batch shuffle (MoCo shuffle-BN, upstream_expert.py:174-200).
+
+    The permutation key is replicated, so every device computes the same
+    global permutation (≙ broadcast from rank 0); each takes its shard of the
+    gathered, permuted batch. Returns (shuffled local batch, inverse perm).
+    """
+    b_local = x_local.shape[0]
+    x_all = jax.lax.all_gather(x_local, axis_name, tiled=True)
+    n = x_all.shape[0]
+    perm = jax.random.permutation(key, n)
+    inv = jnp.argsort(perm)
+    idx = perm.reshape(n // b_local, b_local)[jax.lax.axis_index(axis_name)]
+    return x_all[idx], inv
+
+
+def batch_unshuffle(x_local: jax.Array, inv: jax.Array, axis_name: str) -> jax.Array:
+    b_local = x_local.shape[0]
+    x_all = jax.lax.all_gather(x_local, axis_name, tiled=True)
+    idx = inv.reshape(x_all.shape[0] // b_local, b_local)[jax.lax.axis_index(axis_name)]
+    return x_all[idx]
+
+
 def queue_update(queue: jax.Array, ptr: jax.Array, keys_local: jax.Array, axis_name: str | None):
     """Gather keys across the mesh and write at ptr (dequeue-and-enqueue)."""
     keys = jax.lax.all_gather(keys_local, axis_name, tiled=True) if axis_name else keys_local
@@ -79,6 +102,9 @@ class DeloresM:
         self.num_negatives = int(pre.get("num_negatives", 65536))
         self.momentum = float(pre.get("encoder_momentum", 0.999))
         self.temperature = float(pre.get("softmax_temperature", 0.07))
+        # compat mode: explicit cross-replica shuffle-BN instead of SyncBN
+        # (the reference's default under DDP; here SyncBN is the default)
+        self.shuffle_bn = bool(pre.get("shuffle_bn", False))
         lambdas = pre.get("lambda_barlow", [5e-5] * 3)
         self.lambdas = [float(l) for l in lambdas]
         scale = pre.get("loss_scale", "1/32")
@@ -155,6 +181,13 @@ class DeloresM:
             ssl_state.params_k,
             params["encoder"],
         )
+        inv = None
+        if self.shuffle_bn and axis_name is not None:
+            kk, ks = jax.random.split(kk)
+            # the per-device keys differ (folded with axis_index upstream);
+            # pmax of the key bits gives one agreed key ≙ broadcast from rank 0
+            ks = jax.random.wrap_key_data(jax.lax.pmax(jax.random.key_data(ks), axis_name))
+            v2, inv = batch_shuffle(v2, ks, axis_name)
         (k, k1, k2, k3), mut_k = self.encoder.apply(
             {"params": params_k, "batch_stats": ssl_state.batch_stats_k},
             v2,
@@ -162,6 +195,11 @@ class DeloresM:
             rngs={"dropout": kk},
             mutable=["batch_stats"],
         )
+        if inv is not None:
+            # unshuffle the embedding AND the taps (the reference forgets the
+            # taps, which would mismatch Barlow pairs under DDP — §2.5 family)
+            k = batch_unshuffle(k, inv, axis_name)
+            k1, k2, k3 = (batch_unshuffle(t, inv, axis_name) for t in (k1, k2, k3))
         k = jax.lax.stop_gradient(l2_normalize(k, axis=1))
         k1, k2, k3 = (jax.lax.stop_gradient(t) for t in (k1, k2, k3))
 
