@@ -19,12 +19,13 @@ def make(out_dir: str, n: int = 32, sr: int = 16000, labeled: bool = True, seed:
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     rows = []
+    bands = (220.0, 650.0, 1900.0, 5200.0)  # disjoint per-class bands
     for i in range(n):
         dur = rng.uniform(0.7, 1.4)
         t = np.arange(int(dur * sr)) / sr
-        f0 = rng.uniform(100, 3000)
         klass = i % 4
-        wave = 0.4 * np.sin(2 * np.pi * (f0 * (1 + 0.3 * klass)) * t)
+        f0 = bands[klass] * rng.uniform(1.0, 1.25)
+        wave = 0.4 * np.sin(2 * np.pi * f0 * t)
         wave += 0.1 * rng.standard_normal(len(t))
         path = os.path.join(out_dir, f"wav_{i:03d}.wav")
         write_wav(path, wave.astype(np.float32), sr)

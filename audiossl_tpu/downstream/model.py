@@ -21,19 +21,35 @@ class DownstreamModel(nn.Module):
     num_classes: int
     finetune_layer: int = -1
     axis_name: str | None = None
+    encoder_type: str = "AudioNTT2020Task6"  # | Efficient_Net | MAST | AST
+    input_tdim: int = 96  # frame count, needed by the transformer encoders
 
     @nn.compact
     def __call__(self, v: jax.Array, train: bool = False) -> jax.Array:
-        enc = AudioNTT2020Task6(
-            n_mels=self.n_mels,
-            d=self.d,
-            return_all_layers=True,
-            axis_name=self.axis_name,
-            name="encoder",
-        )
-        l1, l2, l3, x = enc(v, train)
-        if self.finetune_layer == -1:
-            h = jnp.mean(x, axis=1)
+        if self.encoder_type == "AudioNTT2020Task6":
+            enc = AudioNTT2020Task6(
+                n_mels=self.n_mels,
+                d=self.d,
+                return_all_layers=True,
+                axis_name=self.axis_name,
+                name="encoder",
+            )
+            l1, l2, l3, x = enc(v, train)
+            h = jnp.mean(x, axis=1) if self.finetune_layer == -1 else (l1, l2, l3)[self.finetune_layer]
+        elif self.encoder_type == "Efficient_Net":
+            from audiossl_tpu.models.efficientnet import EfficientNetB0
+
+            h = EfficientNetB0(axis_name=self.axis_name, name="encoder")(v, train)
+        elif self.encoder_type == "MAST":
+            from audiossl_tpu.models.mast import MASTEncoder
+
+            h = MASTEncoder(
+                input_fdim=self.n_mels, input_tdim=self.input_tdim, name="encoder"
+            )(v, train)
+        elif self.encoder_type == "AST":
+            from audiossl_tpu.models.ast import ASTEncoder
+
+            h = ASTEncoder(input_fdim=self.n_mels, input_tdim=self.input_tdim, name="encoder")(v, train)
         else:
-            h = (l1, l2, l3)[self.finetune_layer]
+            raise NotImplementedError(f"unknown downstream encoder {self.encoder_type!r}")
         return nn.Dense(self.num_classes, name="final", dtype=h.dtype)(h)

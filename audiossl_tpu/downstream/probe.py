@@ -96,14 +96,16 @@ def run_downstream(config: dict[str, Any], args: dict[str, Any]):
         sample_rate=int(ds["input"]["sampling_rate"]), n_mels=int(ds["input"]["n_mels"])
     )
 
+    n_frames = mel_cfg.num_frames(clip)
     model = DownstreamModel(
         n_mels=mel_cfg.n_mels,
         d=int(ds["base_encoder"]["output_dim"]),
         num_classes=num_classes,
         finetune_layer=int(ds.get("finetune_layer", -1)),
         axis_name=DATA_AXIS,
+        encoder_type=str(ds["base_encoder"].get("type", "AudioNTT2020Task6")),
+        input_tdim=n_frames,
     )
-    n_frames = mel_cfg.num_frames(clip)
     dummy = jnp.zeros((2, mel_cfg.n_mels, n_frames, 1), jnp.float32)
     variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, dummy, False)
     params, batch_stats = variables["params"], variables.get("batch_stats", {})

@@ -308,6 +308,8 @@ class MViT(nn.Module):
     input_hw: tuple[int, int]  # spatial size of the input (pre-patchify)
     in_chans: int = 1
     final_norm: bool = True  # MAST's reference forward skips it (mast.py:227)
+    remat: bool = False  # activation checkpointing per block (≙ fairscale
+    # checkpoint_wrapper, mvit_model.py:133-144): trade FLOPs for HBM
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
@@ -342,7 +344,8 @@ class MViT(nn.Module):
                 dim_out = round_width(embed_dim, dim_mul[i], divisor=round_width(num_heads, head_mul[i]))
             else:
                 dim_out = round_width(embed_dim, dim_mul[i + 1], divisor=round_width(num_heads, head_mul[i + 1]))
-            x, hw = MultiScaleBlock(
+            block_cls = nn.remat(MultiScaleBlock, static_argnums=(2,)) if self.remat else MultiScaleBlock
+            x, hw = block_cls(
                 dim=embed_dim,
                 dim_out=dim_out,
                 num_heads=num_heads,
