@@ -170,11 +170,15 @@ def run_downstream(config: dict[str, Any], args: dict[str, Any]):
     os.makedirs(exp_root, exist_ok=True)
     stats_file = open(os.path.join(exp_root, "downstream_stats.txt"), "a", buffering=1)
 
+    eval_batch = int(config["run"]["batch_size"])
+
     def evaluate(loader):
         acc = Accuracy()
-        losses = []
         for waves, labels in loader.epoch(0):
-            preds = np.asarray(eval_step(params, batch_stats, jnp.asarray(waves)))
+            n = len(labels)
+            if n < eval_batch:  # pad the tail batch to a fixed shape (one compile)
+                waves = np.pad(waves, ((0, eval_batch - n), (0, 0)))
+            preds = np.asarray(eval_step(params, batch_stats, jnp.asarray(waves)))[:n]
             acc.update(preds == labels)
         return acc.avg
 

@@ -41,6 +41,7 @@ class MASTEncoder(nn.Module):
     model_size: str = "base"
     fstride: int = 10
     tstride: int = 10
+    remat: bool = False  # per-block activation checkpointing (MODEL.ACT_CHECKPOINT)
     # PatchDrop (augmentations.py:64-79) is commented out of the reference MAST
     # forward (mast.py:208-217) — and token dropping is incompatible with
     # MViT's grid-structured pooled attention — so it is not wired in here;
@@ -57,6 +58,7 @@ class MASTEncoder(nn.Module):
             in_chans=1,
             name="mvit",
             final_norm=False,  # reference forward skips self.v.norm (mast.py:227)
+            remat=self.remat,
         )(x, train)
         return jnp.mean(tokens, axis=1)
 

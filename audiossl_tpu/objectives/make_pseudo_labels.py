@@ -54,18 +54,25 @@ def main():
 
     @jax.jit
     def embed(waves):
-        lms = log_mel(waves, mel_cfg)[:, :, :, None]
-        feats = model.apply({"params": enc["params"], "batch_stats": enc["batch_stats"]}, lms, False)
-        return max_mean_pool(feats)
+        lms = log_mel(waves, mel_cfg)
+        feats = model.apply(
+            {"params": enc["params"], "batch_stats": enc["batch_stats"]}, lms[:, :, :, None], False
+        )
+        # also return the time-averaged mel vector — the space Kmix measures
+        # centroid distances in (augmentations.py:146-151)
+        return max_mean_pool(feats), jnp.mean(lms, axis=-1)
 
     loader = ManifestLoader(
         args.csv, args.batch_size, clip, mel_cfg.sample_rate,
         shuffle=False, drop_last=False, file_col=args.file_col,
     )
-    feats = []
+    feats, mel_avgs = [], []
     for waves, _ in loader.epoch(0):
-        feats.append(np.asarray(embed(jnp.asarray(waves))))
+        f, m = embed(jnp.asarray(waves))
+        feats.append(np.asarray(f))
+        mel_avgs.append(np.asarray(m))
     features = np.concatenate(feats)[: loader.num_samples]
+    mel_avg = np.concatenate(mel_avgs)[: loader.num_samples]
 
     km = Kmeans(args.clusters)
     loss = km.cluster(features, verbose=True)
@@ -76,11 +83,11 @@ def main():
     print(f"wrote {len(labels)} pseudo-labels ({args.clusters} clusters, kmeans loss {loss:.2f}) to {args.out}")
 
     if args.save_centroids:
-        # Kmix wants centroids in the raw feature space, time-avg mel dims;
-        # export cluster means of the embeddings used here
-        cents = np.stack([features[m].mean(axis=0) for m in km.images_lists if m])
+        # Kmix centroids live in time-averaged mel space, [K, n_mels]
+        # (augmentations.py:146-151 compares them to mel-avg vectors)
+        cents = np.stack([mel_avg[m].mean(axis=0) for m in km.images_lists if m])
         np.save(args.save_centroids, cents)
-        print(f"wrote centroids {cents.shape} to {args.save_centroids}")
+        print(f"wrote Kmix centroids {cents.shape} to {args.save_centroids}")
 
 
 if __name__ == "__main__":

@@ -53,8 +53,15 @@ def kl_batchmean(log_pred: jax.Array, target_probs: jax.Array) -> jax.Array:
 
 
 def cosine_mse(x: jax.Array, y: jax.Array) -> jax.Array:
-    """loss_fn_mse: mean(2 - 2 cos_sim) on L2-normalized rows."""
-    return jnp.mean(2.0 - 2.0 * jnp.sum(l2_normalize(x) * l2_normalize(y), axis=-1))
+    """loss_fn_mse: mean(2 - 2 cos_sim) on L2-normalized rows.
+
+    eps=1e-6 (vs torch's 1e-12): projector rows can collapse to ~0 early in
+    training and the normalize backward scales as 1/eps there; 1e-6 keeps
+    value parity (row norms in practice are ≫ 1e-6) with f32-safe gradients.
+    """
+    return jnp.mean(
+        2.0 - 2.0 * jnp.sum(l2_normalize(x, eps=1e-6) * l2_normalize(y, eps=1e-6), axis=-1)
+    )
 
 
 @register("unfused")

@@ -100,6 +100,12 @@ def normalize_batch(x: jax.Array, axis=(0, 2, 3)) -> jax.Array:
 
 
 def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
-    """torch F.normalize(p=2) semantics (clamp-denominator)."""
-    norm = jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
-    return x / norm
+    """torch F.normalize(p=2) semantics, gradient-safe.
+
+    Uses x * rsqrt(|x|^2 + eps^2) instead of x / max(|x|, eps): values agree
+    with torch to O(eps^2/|x|^2), but the VJP stays bounded at |x| -> 0
+    (the clamped form emits 1/eps-scale gradients that overflow f32 when a
+    projector row collapses to zero — observed in UnFuSeD distillation).
+    """
+    sq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(sq + eps * eps)

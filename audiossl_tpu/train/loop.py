@@ -68,7 +68,15 @@ def train_upstream(
     )
     pre["steps_per_epoch"] = max(len(loader), 1)
     objective = labeled_cls(config)
-    pipeline = AugmentPipeline(AugmentConfig.from_dict(pre), epoch_samples=loader.num_samples)
+    # Kmix centroids (augmentations.py:130-136): numpy array at centroid_path
+    centroids = None
+    cp = ((pre.get("augmentations") or {}).get("Kmix") or {}).get("centroid_path")
+    if cp and cp != "None":
+        centroids = np.load(cp)
+        log.info("Kmix enabled with %s centroids from %s", centroids.shape, cp)
+    pipeline = AugmentPipeline(
+        AugmentConfig.from_dict(pre), epoch_samples=loader.num_samples, centroids=centroids
+    )
 
     epochs = int(run.get("epochs", 1))
     steps_per_epoch = max(len(loader), 1)
