@@ -14,6 +14,12 @@ compose with the existing data-parallel step:
 
 Used standalone under shard_map (see tests/test_tp.py) or as a template for
 sharding-annotated pjit layers.
+
+Autodiff subtlety (tests/test_tp.py): after row_parallel the activation is
+replicated over the model axis, so a loss computed per shard counts the same
+value once per model shard — divide the local loss by
+`jax.lax.axis_size('model')` before `jax.grad`, then psum grads over 'data'
+(the DDP all-reduce).
 """
 from __future__ import annotations
 

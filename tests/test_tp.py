@@ -46,15 +46,15 @@ def test_tp_gradients_match_dense():
 
     g_dense = jax.grad(loss_dense, argnums=(0, 1))(w1, w2)
 
-    def loss_tp(w1l, w2l, xl):
-        y = tp_mlp(xl, w1l, w2l)
-        # per-shard partial loss; psum over data to match the global sum
-        return jax.lax.psum(jnp.sum(jnp.square(y)), "data")
-
     def grads_tp(w1l, w2l, xl):
-        g1, g2 = jax.grad(loss_tp, argnums=(0, 1))(w1l, w2l, xl)
-        # weights are replicated along 'data': sum the per-data-shard grads
-        # (the DDP grad all-reduce, here explicit)
+        def local_loss(w1l, w2l):
+            y = tp_mlp(xl, w1l, w2l)
+            # y is replicated over the model axis, so every model shard counts
+            # the same loss — normalize by the group size before autodiff
+            return jnp.sum(jnp.square(y)) / jax.lax.axis_size("model")
+
+        g1, g2 = jax.grad(local_loss, argnums=(0, 1))(w1l, w2l)
+        # weights replicated along 'data': explicit DDP grad all-reduce
         return jax.lax.psum(g1, "data"), jax.lax.psum(g2, "data")
 
     w1s, w2s = shard_mlp_weights(mesh, w1, w2)
