@@ -14,14 +14,21 @@ from flax import linen as nn
 
 
 class MLPProjector(nn.Module):
-    """[in] -> hidden -> hidden -> out with BN+ReLU between (bias-free Linears)."""
+    """[in] -> hidden -> hidden -> out with BN+ReLU between (bias-free Linears).
+
+    Matmuls run in ``compute_dtype`` (bf16 by default — they are the FLOPs of
+    the Barlow objectives); BN statistics and the returned projection are f32
+    (the cross-correlation loss needs the precision).
+    """
 
     hidden: int = 2048
     out: int = 2048
     axis_name: str | None = None
+    compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        x = x.astype(self.compute_dtype)
         for width in (self.hidden, self.hidden):
             x = nn.Dense(width, use_bias=False, dtype=x.dtype)(x)
             x = nn.BatchNorm(
@@ -30,9 +37,9 @@ class MLPProjector(nn.Module):
                 epsilon=1e-5,
                 axis_name=self.axis_name if train else None,
                 dtype=jnp.float32,
-            )(x)
+            )(x).astype(self.compute_dtype)
             x = nn.relu(x)
-        return nn.Dense(self.out, use_bias=False, dtype=x.dtype)(x)
+        return nn.Dense(self.out, use_bias=False, dtype=x.dtype)(x).astype(jnp.float32)
 
 
 class LinearClassifier(nn.Module):

@@ -91,3 +91,10 @@ class TestDecarTrainer:
         assigns = np.asarray(state.assignments[0])
         assert (assigns != -100).all()
         assert os.path.isdir(ckpt_dir)
+
+        # resume: memory bank (the mb{rank}.pth equivalent) survives restore
+        state2, _ = train_decar(
+            cfg, os.path.join(wav_dir, "pretrain.csv"), load_checkpoint=ckpt_dir, max_epochs=1
+        )
+        assert int(state2.step) == 6
+        assert (np.asarray(state2.memory.index) >= 0).all()  # bank stayed filled

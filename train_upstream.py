@@ -23,6 +23,7 @@ def get_args():
     parser.add_argument("--epochs", type=int, default=None, help="override config run.epochs")
     parser.add_argument("--batch_size", type=int, default=None, help="override config run.batch_size")
     parser.add_argument("--save_path", type=str, default=None, help="override config run.save_path")
+    parser.add_argument("--profile", type=str, default=None, help="capture a jax.profiler trace to this dir")
     return parser.parse_args()
 
 
@@ -41,6 +42,22 @@ def main(args):
     if args.save_path is not None:
         config["run"]["save_path"] = args.save_path
     print(config)
+    if args.profile:
+        import contextlib
+
+        from audiossl_tpu.utils.profiling import trace
+
+        profile_cm = trace(args.profile)
+    else:
+        import contextlib
+
+        profile_cm = contextlib.nullcontext()
+    with profile_cm:
+        run_training(args, config)
+    return
+
+
+def run_training(args, config):
     if args.upstream == "decar_v2":
         # DECAR has its own trainer (per-epoch distributed k-means phase),
         # like the reference's standalone extras/decar-v2 codebase.
