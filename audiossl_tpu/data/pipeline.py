@@ -113,6 +113,10 @@ class ManifestLoader:
                 yield make_batch(b)
             return
 
+        yield from self._prefetched(make_batch, n_batches)
+
+    def _prefetched(self, make_batch, n_batches: int):
+
         # bounded prefetch: overlap host decode with device compute
         q: Queue = Queue(maxsize=4)
         stop = threading.Event()
@@ -142,3 +146,63 @@ class ManifestLoader:
                 yield item
         finally:
             stop.set()
+
+
+class NpyFeatureLoader:
+    """Batches of precomputed features (the LAPE `_avg` offline workflow:
+    extras/datasets load .npy log-mels written by extract_features.py).
+
+    CSV columns: a feature-path column (+ label). Yields
+    ([B, ...feature shape], labels) like ManifestLoader, skipping decode and
+    the on-device frontend.
+    """
+
+    def __init__(
+        self,
+        csv_path: str,
+        batch_size: int,
+        labeled: bool = True,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        file_col: str = "AudioPath",
+        label_col: str = "Label",
+        labels_map: dict | None = None,
+        path_prefix: str | None = None,
+        suffix: str = ".npy",
+    ):
+        import os
+
+        self.df = pd.read_csv(csv_path)
+        self.files = [
+            os.path.join(path_prefix, f) if path_prefix else f for f in self.df[file_col]
+        ]
+        self.files = [f if f.endswith(suffix) else f + suffix for f in self.files]
+        self.labels = None
+        self.label_to_id = labels_map
+        if labeled:
+            self.label_to_id = labels_map or {
+                l: i for i, l in enumerate(sorted(set(self.df[label_col])))
+            }
+            self.labels = np.asarray([self.label_to_id[l] for l in self.df[label_col]], np.int32)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+
+    @property
+    def num_samples(self) -> int:
+        return len(self.files)
+
+    def __len__(self) -> int:
+        n = len(self.files)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch: int = 0):
+        order = np.arange(len(self.files))
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(order)
+        for b in range(len(self)):
+            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+            feats = np.stack([np.load(self.files[i]) for i in idxs]).astype(np.float32)
+            yield feats, (self.labels[idxs] if self.labels is not None else None)
