@@ -46,7 +46,9 @@ class ManifestLoader:
         label_col: str = "label",
         labels_map: dict | None = None,
         path_prefix: str | None = None,
+        wire_dtype: str = "float32",  # 'int16' halves host->device bytes
     ):
+        self.wire_dtype = wire_dtype
         self.df = pd.read_csv(csv_path)
         self.files = self.df[file_col].tolist()
         if path_prefix:
@@ -104,6 +106,10 @@ class ManifestLoader:
                 )
             else:
                 waves = np.stack([self._load_one(i, rng) for i in idxs]).astype(np.float32)
+            if self.wire_dtype == "int16":
+                # PCM16 wire format: -90 dB quantization floor, halves the
+                # host->device transfer (the jitted step rescales)
+                waves = np.clip(waves * 32768.0, -32768, 32767).astype(np.int16)
             if self.labels is not None:
                 return waves, self.labels[idxs]
             return waves, None
@@ -113,16 +119,20 @@ class ManifestLoader:
                 yield make_batch(b)
             return
 
-        yield from self._prefetched(make_batch, n_batches)
+        # native path: avl_load_batch parallelizes internally on a C++ thread
+        # pool — nesting it inside the Python pool oversubscribes (workers x
+        # n_threads std::threads per batch); one producer thread suffices
+        yield from self._prefetched(make_batch, n_batches, pool_workers=1 if use_native else self.num_workers)
 
-    def _prefetched(self, make_batch, n_batches: int):
+    def _prefetched(self, make_batch, n_batches: int, pool_workers: int | None = None):
+        pool_workers = pool_workers or self.num_workers
 
         # bounded prefetch: overlap host decode with device compute
         q: Queue = Queue(maxsize=4)
         stop = threading.Event()
 
         def producer():
-            with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            with cf.ThreadPoolExecutor(pool_workers) as pool:
                 futs = [pool.submit(make_batch, b) for b in range(min(4, n_batches))]
                 nxt = len(futs)
                 for i in range(n_batches):

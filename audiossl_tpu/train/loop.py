@@ -65,6 +65,7 @@ def train_upstream(
         labeled=labeled,
         num_workers=int(run.get("num_dataloader_workers", 8)),
         seed=seed,
+        wire_dtype=str(run.get("wire_dtype", "int16")),
     )
     pre["steps_per_epoch"] = max(len(loader), 1)
     objective = labeled_cls(config)

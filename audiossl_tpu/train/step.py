@@ -57,6 +57,8 @@ def prepare_views(
 ):
     """waveforms [B, L] -> (aug_state', v1, v2) with views in NHWC [B, F, T, 1]."""
     frontend = as_frontend(mel_cfg)
+    if waves.dtype == jnp.int16:  # PCM16 wire format (data/pipeline.py)
+        waves = waves.astype(jnp.float32) / 32768.0
     if normalization == "l2":
         waves = l2_normalize(waves, axis=-1)
     lms = frontend(waves)[:, None]  # [B, 1, F, T]
