@@ -133,7 +133,9 @@ void resample(const std::vector<float>& in, int sr_in, int sr_out,
       acc += in[k] * w;
       wsum += w;
     }
-    (*out)[j] = wsum != 0.0 ? (float)(acc) : 0.0f;
+    // normalize by the (possibly edge-truncated) window weight sum so
+    // boundary samples keep unity gain
+    (*out)[j] = wsum != 0.0 ? (float)(acc / wsum) : 0.0f;
   }
 }
 

@@ -96,12 +96,14 @@ class ManifestLoader:
         def make_batch(b: int):
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
             if use_native:
-                # C++ decode+window pool (data/_native/wavloader.cpp)
+                # C++ decode+window pool (data/_native/wavloader.cpp);
+                # SeedSequence mixes (seed, epoch, batch) collision-free
+                batch_seed = int(np.random.SeedSequence([self.seed, epoch, b]).generate_state(1)[0])
                 waves = native.load_batch(
                     [self.files[i] for i in idxs],
                     self.clip_samples,
                     self.sample_rate,
-                    seed=(self.seed << 20) ^ (epoch << 10) ^ b,
+                    seed=batch_seed,
                     n_threads=max(self.num_workers, 1),
                 )
             else:
@@ -132,18 +134,22 @@ class ManifestLoader:
         stop = threading.Event()
 
         def producer():
-            with cf.ThreadPoolExecutor(pool_workers) as pool:
-                futs = [pool.submit(make_batch, b) for b in range(min(4, n_batches))]
-                nxt = len(futs)
-                for i in range(n_batches):
-                    if stop.is_set():
-                        for f in futs:
-                            f.cancel()
-                        return
-                    q.put(futs.pop(0).result())
-                    if nxt < n_batches:
-                        futs.append(pool.submit(make_batch, nxt))
-                        nxt += 1
+            try:
+                with cf.ThreadPoolExecutor(pool_workers) as pool:
+                    futs = [pool.submit(make_batch, b) for b in range(min(4, n_batches))]
+                    nxt = len(futs)
+                    for i in range(n_batches):
+                        if stop.is_set():
+                            for f in futs:
+                                f.cancel()
+                            return
+                        q.put(futs.pop(0).result())
+                        if nxt < n_batches:
+                            futs.append(pool.submit(make_batch, nxt))
+                            nxt += 1
+            except BaseException as e:  # surface loader errors to the consumer
+                q.put(e)
+                return
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -153,6 +159,8 @@ class ManifestLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

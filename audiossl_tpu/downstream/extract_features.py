@@ -72,13 +72,18 @@ def main():
             waves = l2_normalize(waves, axis=-1)
         return log_mel(waves, mel_cfg)
 
+    # mirror the manifest's directory structure so identical basenames in
+    # different class dirs (speech-commands layout) don't collide
+    common = os.path.commonpath([os.path.abspath(f) for f in loader.files]) if len(loader.files) > 1 else os.path.dirname(os.path.abspath(loader.files[0]))
     pos = 0
     for waves, _ in loader.epoch(0):
         w = jnp.asarray(waves)
         out = np.asarray(encoder_apply(w) if encoder_apply else frontend(w))
         for i in range(len(out)):
-            rel = os.path.basename(loader.files[pos + i])
-            np.save(os.path.join(args.out, rel + ".npy"), out[i])
+            rel = os.path.relpath(os.path.abspath(loader.files[pos + i]), common)
+            dst = os.path.join(args.out, rel + ".npy")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            np.save(dst, out[i])
         pos += len(out)
     print(f"wrote {pos} feature files to {args.out}")
 

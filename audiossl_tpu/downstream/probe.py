@@ -211,6 +211,8 @@ def run_downstream(config: dict[str, Any], args: dict[str, Any]):
             "Best_Test_Acc": max(test_acc_hist),
             "epoch_time_s": time.time() - t0,
         }
+        if valid_loader is not None:
+            stats["Valid_Accuracy"] = evaluate(valid_loader)
         log.info("%s", stats)
         print(json.dumps(stats), file=stats_file)
 

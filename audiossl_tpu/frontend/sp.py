@@ -43,6 +43,13 @@ def sp_log_mel_local(wave_local: jax.Array, cfg: LogMelConfig, axis: str = "data
     spectrogram block. One ppermute supplies the cross-shard halo."""
     halo = cfg.n_fft - cfg.hop
     w = jax.lax.axis_size(axis)
+    if wave_local.shape[-1] < halo:
+        raise ValueError(
+            f"local time slice ({wave_local.shape[-1]} samples) is shorter than "
+            f"the frame halo ({halo}); use fewer shards or longer audio"
+        )
+    if wave_local.shape[-1] % cfg.hop:
+        raise ValueError("local slice length must be a multiple of hop (use pad_for_sp)")
     # right neighbor's head -> this shard's tail extension (last shard: zeros)
     head = wave_local[:, :halo]
     perm = [(i, (i - 1) % w) for i in range(w)]

@@ -89,6 +89,13 @@ def queue_update(queue: jax.Array, ptr: jax.Array, keys_local: jax.Array, axis_n
     keys = jax.lax.all_gather(keys_local, axis_name, tiled=True) if axis_name else keys_local
     b = keys.shape[0]
     n = queue.shape[1]
+    if n % b:
+        # the reference asserts this too (upstream_expert.py:166); without it
+        # dynamic_update_slice clamps near the end and desyncs the pointer
+        raise ValueError(
+            f"num_negatives={n} must be divisible by the global batch {b} "
+            "(MoCo queue simplicity assert)"
+        )
     queue = jax.lax.dynamic_update_slice(queue, keys.T.astype(queue.dtype), (0, ptr))
     return queue, (ptr + b) % n
 

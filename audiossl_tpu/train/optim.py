@@ -29,9 +29,11 @@ def sgd_torch(lr, momentum: float = 0.9, weight_decay: float = 1e-4) -> optax.Gr
 
 
 def adam_torch(lr, weight_decay: float = 0.0) -> optax.GradientTransformation:
+    # torch.optim.Adam couples weight decay INTO the gradient before the
+    # moment updates (unlike AdamW's decoupled decay)
     return optax.chain(
-        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         optax.scale_by_learning_rate(lr),
     )
 
@@ -98,23 +100,25 @@ def larc(
 
     def init(params):
         del params
-        return ()
+        return {"count": jnp.zeros((), jnp.int32)}
 
     def update(grads, state, params):
+        # clip against the CURRENT step's LR (apex LARC semantics) — a
+        # warmup schedule's lr(0)=0 must not freeze the clip base
+        base = lr(state["count"]) if callable(lr) else jnp.asarray(lr, jnp.float32)
+
         def one(g, p):
             p_norm = jnp.linalg.norm(p)
             g_norm = jnp.linalg.norm(g)
             adaptive = trust_coefficient * p_norm / (g_norm + p_norm * weight_decay + eps)
             if clip:
-                # LARC-clip: scale = min(adaptive_lr / lr, 1)
-                base = lr(jnp.zeros((), jnp.int32)) if callable(lr) else lr
                 scale = jnp.minimum(adaptive / jnp.maximum(base, 1e-12), 1.0)
             else:
                 scale = adaptive
             ok = (p_norm > 0) & (g_norm > 0)
             return jnp.where(ok, scale, 1.0) * (g + weight_decay * p)
 
-        return jax.tree.map(one, grads, params), state
+        return jax.tree.map(one, grads, params), {"count": state["count"] + 1}
 
     return optax.chain(
         optax.GradientTransformation(init, update),

@@ -33,10 +33,13 @@ def linear_cka(x: jax.Array, y: jax.Array) -> jax.Array:
 
 def _rbf(x: jax.Array, sigma: float | None = None) -> jax.Array:
     gx = x @ x.T
-    kx = jnp.diag(gx)[:, None] - gx + (jnp.diag(gx)[None, :] - gx).T
+    d = jnp.diag(gx)
+    # squared pairwise distances: d_i + d_j - 2 g_ij (reference extras/CKA.py:15-18)
+    kx = d[:, None] + d[None, :] - 2.0 * gx
     if sigma is None:
-        mdist = jnp.median(kx[kx != 0]) if kx.size else 1.0
-        sigma = jnp.sqrt(mdist)
+        off = kx[jnp.triu_indices(kx.shape[0], k=1)]
+        mdist = jnp.median(off) if off.size else 1.0
+        sigma = jnp.sqrt(jnp.maximum(mdist, 1e-12))
     return jnp.exp(-kx / (2.0 * sigma**2))
 
 

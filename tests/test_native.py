@@ -48,6 +48,24 @@ class TestNativeLoader:
         with pytest.raises(IOError):
             native.load_batch([os.path.join(wav_dir, "nope.wav")], clip_samples=100)
 
+    def test_resample_gain_and_parity(self, tmp_path):
+        # 44.1k sine -> 16k: unity gain (incl. edges) and close to scipy
+        from audiossl_tpu.data.wav import write_wav
+
+        sr_in = 44100
+        t = np.arange(sr_in) / sr_in
+        wave = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        path = str(tmp_path / "hi.wav")
+        write_wav(path, wave, sr_in)
+        a = native.decode(path, 16000)
+        b = load_wave(path, 16000)
+        n = min(len(a), len(b))
+        # amplitude preserved (the un-normalized version attenuated edges)
+        assert 0.48 < np.abs(a[: n]).max() < 0.52
+        interior = slice(100, n - 100)
+        err = np.abs(a[interior] - b[interior]).max()
+        assert err < 0.02, err  # different FIR designs, same signal
+
     def test_crop_is_contiguous_slice(self, wav_dir):
         paths = [os.path.join(wav_dir, "wav_001.wav")]
         full = native.decode(paths[0])
