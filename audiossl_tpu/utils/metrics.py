@@ -27,6 +27,23 @@ class AverageMeter:
         self.avg = self.sum / max(self.count, 1)
 
 
+class TrainMeter:
+    """Step timing with ETA (mvit/utils/meters.py:110-127 equivalent)."""
+
+    def __init__(self, total_steps: int):
+        self.total_steps = total_steps
+        self.time = AverageMeter()
+        self.step = 0
+
+    def update(self, step_seconds: float):
+        self.time.update(step_seconds)
+        self.step += 1
+
+    @property
+    def eta_seconds(self) -> float:
+        return self.time.avg * max(self.total_steps - self.step, 0)
+
+
 class Accuracy:
     """Streaming accuracy over boolean prediction-correctness arrays
     (the reference's `Metric`)."""
