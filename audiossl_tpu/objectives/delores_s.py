@@ -24,12 +24,24 @@ class _Net(nn.Module):
     d: int
     projection_dim: int
     axis_name: str | None
+    encoder_type: str = "AudioNTT2020Task6"
 
     @nn.compact
     def __call__(self, v: jax.Array, train: bool) -> jax.Array:
-        enc = AudioNTT2020Task6(n_mels=self.n_mels, d=self.d, axis_name=self.axis_name, name="encoder")
+        if self.encoder_type == "Efficient_Net":
+            # EfficientNet-Barlow variant (extras/delores-s/models.py:7-40):
+            # pooled 1280-d features straight into the projector
+            from audiossl_tpu.models.efficientnet import EfficientNetB0
+
+            y = EfficientNetB0(axis_name=self.axis_name, name="encoder")(v, train)
+        elif self.encoder_type == "AudioNTT2020Task6":
+            enc = AudioNTT2020Task6(n_mels=self.n_mels, d=self.d, axis_name=self.axis_name, name="encoder")
+            y = max_mean_pool(enc(v, train))
+        else:
+            raise NotImplementedError(
+                f"DeLoRes-S supports AudioNTT2020Task6 | Efficient_Net, got {self.encoder_type!r}"
+            )
         proj = MLPProjector(hidden=self.projection_dim, out=self.projection_dim, axis_name=self.axis_name, name="projector")
-        y = max_mean_pool(enc(v, train))
         return proj(y, train)
 
 
@@ -45,6 +57,7 @@ class DeloresS:
             d=int(pre["base_encoder"]["output_dim"]),
             projection_dim=int(pre.get("projection_dim", 2048)),
             axis_name=axis_name,
+            encoder_type=str(pre["base_encoder"].get("type", "AudioNTT2020Task6")),
         )
 
     def init(self, key: jax.Array, sample_views):
