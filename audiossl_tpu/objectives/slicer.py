@@ -95,6 +95,7 @@ class Slicer:
         self.momentum = float(pre.get("encoder_momentum", 0.999))
         self.temperature = float(pre.get("softmax_temperature", 0.07))
         self.cluster_temperature = float(pre.get("cluster_temperature", 1.0))
+        self.shuffle_bn = bool(pre.get("shuffle_bn", False))
         self.encoder = EncoderSlicer(
             n_mels=int(pre["input"]["n_mels"]),
             d=int(pre["base_encoder"]["output_dim"]),
@@ -133,6 +134,13 @@ class Slicer:
             ssl.params_k,
             params["encoder"],
         )
+        inv = None
+        if self.shuffle_bn and axis_name is not None:
+            from audiossl_tpu.objectives.delores_m import batch_shuffle, batch_unshuffle
+
+            kk, ks = jax.random.split(kk)
+            ks = jax.random.wrap_key_data(jax.lax.pmax(jax.random.key_data(ks), axis_name))
+            vk, inv = batch_shuffle(vk, ks, axis_name)
         (k_inst, _), mut_k = self.encoder.apply(
             {"params": params_k, "batch_stats": ssl.batch_stats_k},
             vk,
@@ -140,6 +148,10 @@ class Slicer:
             rngs={"dropout": kk},
             mutable=["batch_stats"],
         )
+        if inv is not None:
+            from audiossl_tpu.objectives.delores_m import batch_unshuffle
+
+            k_inst = batch_unshuffle(k_inst, inv, axis_name)
         k_inst = jax.lax.stop_gradient(l2_normalize(k_inst, axis=1))
         ce = info_nce(q_inst, k_inst, ssl.queue, self.temperature)
         queue, ptr = queue_update(ssl.queue, ssl.queue_ptr, k_inst, axis_name)

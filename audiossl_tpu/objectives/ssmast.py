@@ -46,6 +46,9 @@ class SSMast:
         self.momentum_base = float(pre.get("encoder_momentum", 0.99))
         self.momentum_epochs = int(pre.get("momentum_total_epochs", 200))
         self.steps_per_epoch = int(pre.get("steps_per_epoch", 1000))
+        # MAST uses LayerNorm (no cross-batch stats), so shuffle-BN is a
+        # no-op numerically; the flag exists for interface uniformity
+        self.shuffle_bn = bool(pre.get("shuffle_bn", False))
         inp = pre["input"]
         self.encoder = MASTWithHead(
             output_dim=self.emb_dim,
@@ -88,9 +91,19 @@ class SSMast:
         total = 0.0
         for i, (vq, vk) in enumerate(((v1, v2), (v2, v1))):
             q = l2_normalize(self._encode(params["encoder"], vq, keys[2 * i], train), axis=1)
-            k = jax.lax.stop_gradient(
-                l2_normalize(self._encode(params_k, vk, keys[2 * i + 1], train), axis=1)
-            )
+            inv = None
+            if self.shuffle_bn and axis_name is not None:
+                from audiossl_tpu.objectives.delores_m import batch_shuffle, batch_unshuffle
+
+                kk = jax.random.fold_in(keys[2 * i + 1], 17)
+                kk = jax.random.wrap_key_data(jax.lax.pmax(jax.random.key_data(kk), axis_name))
+                vk, inv = batch_shuffle(vk, kk, axis_name)
+            k = self._encode(params_k, vk, keys[2 * i + 1], train)
+            if inv is not None:
+                from audiossl_tpu.objectives.delores_m import batch_unshuffle
+
+                k = batch_unshuffle(k, inv, axis_name)
+            k = jax.lax.stop_gradient(l2_normalize(k, axis=1))
             total = total + info_nce(q, k, queue, self.temperature)
             queue, ptr = queue_update(queue, ptr, k, axis_name)
 

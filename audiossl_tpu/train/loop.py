@@ -121,6 +121,9 @@ def train_upstream(
 
     best_loss = float("inf")
     global_step = int(state.step)
+    from audiossl_tpu.utils.metrics import TrainMeter
+
+    eta = TrainMeter(total_steps=epochs * steps_per_epoch)
     batch_time, data_time = AverageMeter(), AverageMeter()
     t_end = time.time()
     done = False
@@ -148,10 +151,11 @@ def train_upstream(
                 "data_time": data_time.val,
             }
             print(json.dumps(rec), file=stats_file)
+            eta.update(batch_time.val)
             if global_step % 10 == 0 or global_step == 1:
                 log.info(
-                    "epoch %d step %d loss %.4f (batch %.3fs data %.3fs)",
-                    epoch, global_step, loss, batch_time.avg, data_time.avg,
+                    "epoch %d step %d loss %.4f (batch %.3fs data %.3fs eta %.0fm)",
+                    epoch, global_step, loss, batch_time.avg, data_time.avg, eta.eta_seconds / 60,
                 )
             if save_every and global_step % save_every == 0:
                 ckpt.save_checkpoint(

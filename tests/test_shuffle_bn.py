@@ -57,6 +57,46 @@ class TestShuffleBN:
         assert np.isfinite(float(metrics["train_loss"]))
 
 
+def test_slicer_step_with_shuffle_bn():
+    from tests.test_objectives import small_config
+    from audiossl_tpu.data.augment import AugmentConfig, AugmentPipeline
+    from audiossl_tpu.frontend.stft import LogMelConfig
+    from audiossl_tpu.objectives import get_objective
+    from audiossl_tpu.parallel.mesh import make_mesh, shard_batch
+    from audiossl_tpu.train.optim import sgd_torch
+    from audiossl_tpu.train.step import init_train_state, make_train_step
+
+    cfg = small_config("slicer")
+    cfg["pretrain"]["shuffle_bn"] = True
+    mesh = make_mesh()
+    obj = get_objective("slicer")(cfg)
+    pipe = AugmentPipeline(AugmentConfig.from_dict(cfg["pretrain"]), epoch_samples=32)
+    tx = sgd_torch(0.03)
+    B, L = 16, 15200
+    state = init_train_state(obj, pipe, LogMelConfig(), tx, mesh, jax.random.key(0), B // mesh.devices.size, L)
+    step = make_train_step(obj, pipe, LogMelConfig(), tx, mesh)
+    waves = shard_batch(mesh, jnp.asarray(0.3 * RNG.standard_normal((B, L)).astype(np.float32)))
+    state, metrics = step(state, waves)
+    assert np.isfinite(float(metrics["train_loss"]))
+
+
+def test_int16_wire_format():
+    from audiossl_tpu.data.augment import AugmentConfig, AugmentPipeline
+    from audiossl_tpu.frontend.stft import LogMelConfig
+    from audiossl_tpu.train.step import prepare_views
+
+    pipe = AugmentPipeline(AugmentConfig(mixup_ratio=None, rrc=False, normalization="none"), epoch_samples=8)
+    st = pipe.init_state(64, 96)
+    # decoded audio is already within [-1, 1] (PCM sources); stay in range so
+    # the comparison isolates quantization, not clipping
+    waves_f = np.clip(0.3 * RNG.standard_normal((2, 15200)), -0.999, 0.999).astype(np.float32)
+    waves_i = np.clip(waves_f * 32768.0, -32768, 32767).astype(np.int16)
+    _, v_f, _ = prepare_views(pipe, LogMelConfig(), "none", st, jnp.asarray(waves_f), jax.random.key(0))
+    _, v_i, _ = prepare_views(pipe, LogMelConfig(), "none", st, jnp.asarray(waves_i), jax.random.key(0))
+    # PCM16 wire quantization: identical to within the -90 dB floor
+    assert np.abs(np.asarray(v_f) - np.asarray(v_i)).max() < 0.02
+
+
 def test_ast_encoder():
     from audiossl_tpu.models.ast import ASTConfig, ASTEncoder
 
