@@ -33,6 +33,9 @@ class FrontendSpec:
     def __call__(self, waves: jax.Array) -> jax.Array:
         """[B, L] -> [B, F, T]."""
         if self.kind == "fbank":
+            # XLA path measures faster than the fused kernel here (the 400-tap
+            # window pads to 512 lanes — PERF.md); pallas_stft.kaldi_fbank_fused
+            # remains available and is the more oracle-accurate variant.
             cfg = FbankConfig(sample_rate=self.sample_rate, num_mel_bins=self.n_mels)
             fb = kaldi_fbank(waves, cfg)  # [B, T, M]
             if self.target_length:

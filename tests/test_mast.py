@@ -31,6 +31,14 @@ class TestKaldiFbank:
         ref = kaldi_fbank_oracle(wave)
         assert np.max(np.abs(ours - ref)) <= 1e-3
 
+    def test_fused_matches_oracle(self):
+        from audiossl_tpu.frontend.pallas_stft import kaldi_fbank_fused
+
+        wave = (0.3 * RNG.standard_normal(16000)).astype(np.float32)
+        ours = np.asarray(kaldi_fbank_fused(wave[None], interpret=True))[0]
+        ref = kaldi_fbank_oracle(wave)
+        assert np.max(np.abs(ours - ref)) <= 1e-3
+
     def test_pad_trim(self):
         fb = jnp.zeros((10, 64))
         assert pad_or_trim_frames(fb, 16).shape == (16, 64)
