@@ -42,19 +42,16 @@ def main(args):
     if args.save_path is not None:
         config["run"]["save_path"] = args.save_path
     print(config)
-    if args.profile:
-        import contextlib
+    import contextlib
 
+    if args.profile:
         from audiossl_tpu.utils.profiling import trace
 
         profile_cm = trace(args.profile)
     else:
-        import contextlib
-
         profile_cm = contextlib.nullcontext()
     with profile_cm:
         run_training(args, config)
-    return
 
 
 def run_training(args, config):
