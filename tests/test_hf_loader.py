@@ -1,0 +1,52 @@
+"""HFLoader batch interface, exercised against a mocked datasets backend."""
+import sys
+import types
+
+import numpy as np
+
+
+class _FakeFeatures(dict):
+    pass
+
+
+class _FakeLabelFeature:
+    names = ["yes", "no", "up"]
+
+
+class _FakeDataset:
+    features = {"label": _FakeLabelFeature()}
+
+    def __init__(self, n=10):
+        rng = np.random.default_rng(0)
+        self._rows = [
+            {"audio": {"array": 0.1 * rng.standard_normal(12000)}, "label": i % 3}
+            for i in range(n)
+        ]
+
+    def __len__(self):
+        return len(self._rows)
+
+    def __getitem__(self, i):
+        return self._rows[i]
+
+
+def test_hf_loader_with_mocked_datasets(monkeypatch):
+    fake_mod = types.ModuleType("datasets")
+    fake_mod.load_dataset = lambda name, version, split: _FakeDataset(10)
+    monkeypatch.setitem(sys.modules, "datasets", fake_mod)
+
+    from audiossl_tpu.data.hf import HFLoader, hf_available
+
+    assert hf_available("speech_commands_v2")
+    assert not hf_available("birdsong_combined")
+
+    loader = HFLoader("speech_commands_v2", "train", batch_size=4, clip_samples=16000, drop_last=True)
+    assert loader.no_of_classes == 3
+    assert loader.label_to_id == {"yes": 0, "no": 1, "up": 2}
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2  # 10 // 4 with drop_last
+    waves, labels = batches[0]
+    assert waves.shape == (4, 16000) and waves.dtype == np.float32
+    assert labels.dtype == np.int32 and set(labels) <= {0, 1, 2}
+    # shorter-than-window audio was zero-padded symmetrically
+    assert np.abs(waves[:, :1000]).max() == 0.0
