@@ -144,6 +144,19 @@ def mix_gaussian_noise(x: jax.Array, key: jax.Array, ratio: float = 0.3) -> jax.
     return jnp.log((1.0 - lambd) * ex + z + EPS32)
 
 
+def mast_noise(x: jax.Array, key: jax.Array, max_shift: int = 10) -> jax.Array:
+    """MAST fbank noise aug (extras/mast_new/mast/dataloader.py:205-207):
+    add U(0,1) noise scaled by a per-batch U(0,1)/10 draw, then roll the time
+    axis by randint(-10, 10). ``x`` is [B, C, F, T]; the reference fbank is
+    [T, M] and rolls dim 0 — our time axis is last."""
+    kn, ks, kr = jax.random.split(key, 3)
+    x = x + jax.random.uniform(kn, x.shape, x.dtype) * (
+        jax.random.uniform(ks, (), x.dtype) / 10.0
+    )
+    shift = jax.random.randint(kr, (), -max_shift, max_shift)
+    return jnp.roll(x, shift, axis=-1)
+
+
 class AugmentState(NamedTuple):
     mixup: MixupBankState | None
     running_norm: RunningNormState | None
@@ -165,13 +178,34 @@ class AugmentConfig:
     gaussian_ratio: float | None = None
     spec_mask_freq: int = 0  # SpecAugment-style masking (MAST pipeline)
     spec_mask_time: int = 0
-    normalization: str = "mean_var"  # mean_var | l2 | none
+    normalization: str = "mean_var"  # mean_var | l2 | precomputed | none
+    # dataset stats for `precomputed` — the MAST convention is
+    # (x - mean) / (2 * std) (extras/mast_new/mast/dataloader.py:201-202)
+    norm_mean: float | None = None
+    norm_std: float | None = None
+    norm_std_mult: float = 2.0
+    # waveform-domain sample-pairing mixup rate (dataloader.py:117-127,148-160)
+    wave_mixup_rate: float = 0.0
+    mast_noise: bool = False  # post-norm uniform noise + time roll (dataloader.py:205-207)
     n_memory: int = 2048
 
     @classmethod
     def from_dict(cls, pretrain: dict[str, Any]) -> "AugmentConfig":
         aug = pretrain.get("augmentations", {}) or {}
         kw: dict[str, Any] = {"normalization": pretrain.get("normalization", "none")}
+        if kw["normalization"] == "precomputed":
+            ns = pretrain.get("norm_stats")
+            if not ns:
+                raise ValueError(
+                    "normalization: precomputed needs pretrain.norm_stats "
+                    "({mean, std} from `python -m audiossl_tpu.data.norm_stats`)"
+                )
+            mean, std = (ns["mean"], ns["std"]) if isinstance(ns, dict) else tuple(ns)
+            kw["norm_mean"], kw["norm_std"] = float(mean), float(std)
+            kw["norm_std_mult"] = float(pretrain.get("norm_std_mult", 2.0))
+        inp = pretrain.get("input") or {}
+        kw["wave_mixup_rate"] = float(inp.get("mixup", 0.0) or 0.0)
+        kw["mast_noise"] = bool(inp.get("noise", False))
         if "MixupBYOLA" in aug:
             kw["mixup_ratio"] = float(aug["MixupBYOLA"].get("ratio", 0.4))
             kw["mixup_log"] = bool(aug["MixupBYOLA"].get("log_mixup_exp", True))
@@ -225,7 +259,7 @@ class AugmentPipeline:
         )
 
     def _one_view(self, mixup_state, x, key):
-        k_mix, k_kmix, k_rrc, k_noise, k_mask = jax.random.split(key, 5)
+        k_mix, k_kmix, k_rrc, k_noise, k_mask, k_mnoise = jax.random.split(key, 6)
         if self.cfg.mixup_ratio is not None:
             x = mixup_byola(mixup_state, x, k_mix, self.cfg.mixup_ratio, self.cfg.mixup_log)
         if self.cfg.kmix_ratio is not None:
@@ -247,6 +281,12 @@ class AugmentPipeline:
             x = spec_mask_batch(
                 x, k_mask, freq_param=self.cfg.spec_mask_freq, time_param=self.cfg.spec_mask_time
             )
+        # MAST op order is mask THEN normalize (dataloader.py:186-202): masked
+        # bins sit at (0 - mean) / (2 std) after the shift, as in the reference.
+        if self.cfg.normalization == "precomputed":
+            x = (x - self.cfg.norm_mean) / (self.cfg.norm_std_mult * self.cfg.norm_std)
+        if self.cfg.mast_noise:
+            x = mast_noise(x, k_mnoise)
         return x
 
     def __call__(self, state: AugmentState, x: jax.Array, key: jax.Array):

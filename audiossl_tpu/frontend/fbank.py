@@ -132,3 +132,24 @@ def waveform_mixup(w1: jax.Array, w2: jax.Array, key: jax.Array) -> tuple[jax.Ar
     lam = jax.random.beta(key, 10.0, 10.0)
     mixed = lam * w1 + (1.0 - lam) * w2
     return mixed - jnp.mean(mixed, axis=-1, keepdims=True), lam
+
+
+def batch_waveform_mixup(waves: jax.Array, key: jax.Array, rate: float) -> jax.Array:
+    """Per-sample mixup over a batch [B, L] at probability ``rate``
+    (dataloader.py:148-160 __getitem__ gate + 117-127 _wav2fbank math).
+
+    Each wave is first mean-centered (the reference centers every loaded
+    waveform, mixed or not); mixed samples draw lambda ~ Beta(10, 10) and a
+    uniform partner. Deviation: the reference draws the partner from the whole
+    dataset; on-device we draw from the local shard's batch — the batch is an
+    i.i.d. shuffle of the dataset, so the partner distribution matches.
+    """
+    b = waves.shape[0]
+    kd, kp, kl = jax.random.split(key, 3)
+    w = waves - jnp.mean(waves, axis=-1, keepdims=True)
+    do = jax.random.uniform(kd, (b, 1)) < rate
+    partner = jax.random.randint(kp, (b,), 0, b)
+    lam = jax.random.beta(kl, 10.0, 10.0, (b, 1)).astype(w.dtype)
+    mixed = lam * w + (1.0 - lam) * w[partner]
+    mixed = mixed - jnp.mean(mixed, axis=-1, keepdims=True)
+    return jnp.where(do, mixed, w)

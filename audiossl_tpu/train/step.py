@@ -61,6 +61,11 @@ def prepare_views(
         waves = waves.astype(jnp.float32) / 32768.0
     if normalization == "l2":
         waves = l2_normalize(waves, axis=-1)
+    if getattr(pipeline.cfg, "wave_mixup_rate", 0.0) > 0.0:
+        from audiossl_tpu.frontend.fbank import batch_waveform_mixup
+
+        key, k_wmix = jax.random.split(key)
+        waves = batch_waveform_mixup(waves, k_wmix, pipeline.cfg.wave_mixup_rate)
     lms = frontend(waves)[:, None]  # [B, 1, F, T]
     aug_state, v1, v2 = pipeline(aug_state, lms, key)
     to_nhwc = lambda v: jnp.transpose(v, (0, 2, 3, 1))
