@@ -112,10 +112,43 @@ def run_downstream(config: dict[str, Any], args: dict[str, Any]):
 
     # upstream -> downstream weight handoff (utils.py:199-207 equivalent)
     if args.get("checkpoint"):
-        enc_target = {"params": params["encoder"], "batch_stats": batch_stats["encoder"]}
-        enc = ckpt.load_encoder(args["checkpoint"], enc_target)
+        # BN-free encoders (MAST/AST) carry no batch_stats subtree
+        enc_target = {"params": params["encoder"], "batch_stats": batch_stats.get("encoder", {})}
+        try:
+            enc = ckpt.load_encoder(args["checkpoint"], enc_target)
+        except Exception:
+            # shapes differ — transformer encoder pretrained at another input
+            # length: transplant with pos/rel-pos surgery, the reference's
+            # DeiT/AudioSet adaptation (src/encoder/mast.py:100-173)
+            from audiossl_tpu.models.surgery import load_pretrained_encoder
+
+            enc_type = str(ds["base_encoder"].get("type", ""))
+            src_hw = None
+            up_cfg_path = os.path.join(args["checkpoint"], "config.yaml")
+            if os.path.exists(up_cfg_path):
+                import yaml
+
+                with open(up_cfg_path) as f:
+                    up_inp = (yaml.safe_load(f).get("pretrain") or {}).get("input") or {}
+                src_t = int(up_inp.get("target_length") or 0)
+                if not src_t:
+                    from audiossl_tpu.frontend import build_frontend
+
+                    up_fe = build_frontend(up_inp)
+                    src_t = up_fe.num_frames(
+                        int(float(up_inp.get("length_wave", 0.95)) * up_fe.sample_rate)
+                    )
+                src_hw = (src_t, int(up_inp.get("n_mels", mel_cfg.n_mels)))
+            enc = load_pretrained_encoder(
+                args["checkpoint"], enc_target,
+                src_input_hw=src_hw,
+                dst_input_hw=(n_frames, mel_cfg.n_mels),  # time is the H axis
+                prefix_tokens=2 if enc_type == "AST" else 0,
+            )
+            log.info("cross-shape encoder transplant (pos/rel-pos surgery) applied")
         params = dict(params) | {"encoder": enc["params"]}
-        batch_stats = dict(batch_stats) | {"encoder": enc["batch_stats"]}
+        if enc.get("batch_stats"):
+            batch_stats = dict(batch_stats) | {"encoder": enc["batch_stats"]}
         log.info("loaded pretrained encoder from %s", args["checkpoint"])
 
     freeze = bool(args.get("freeze", config["run"].get("freeze", False)))

@@ -60,6 +60,14 @@ def load_encoder(ckpt_dir: str, target_vars: Any, step: int | None = None) -> An
     return restore_checkpoint(ckpt_dir, target_vars, step, kind="encoder")
 
 
+def load_raw(ckpt_dir: str, step: int, kind: str = "encoder") -> Any:
+    """Restore a checkpoint as saved, without a target structure — for
+    cross-shape transplants (models/surgery.py) where the stored pos-embed /
+    rel-pos shapes intentionally differ from the target model's."""
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.join(_path(ckpt_dir), kind, str(step)))
+
+
 def filter_variables(variables: Any, keep_prefixes: tuple[str, ...]) -> Any:
     """Prefix-filtered weight surgery (NetworkCommonMixIn.load_weight,
     src/encoder/audiontt.py:12-30): keep only subtrees whose top-level key
