@@ -1,6 +1,7 @@
 """EfficientNet-Barlow upstream variant (extras/delores-s models.py path)."""
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from audiossl_tpu.data.augment import AugmentConfig, AugmentPipeline
@@ -36,3 +37,41 @@ def test_delores_s_with_efficientnet_and_lars():
     state, metrics = step(state, waves)
     assert np.isfinite(float(metrics["train_loss"]))
     assert "encoder" in state.params and "block6_0" in state.params["encoder"]
+
+
+class TestEfficientNetOracle:
+    """Weight-transplant numeric parity vs a torch transcription of
+    efficientnet_pytorch's B0 forward (VERDICT r1 Weak #4): same flax
+    variables, eval mode, TF-same padding — including even-input stride-2
+    and odd-input asymmetric-padding cases."""
+
+    def _variables(self, key):
+        from audiossl_tpu.models.efficientnet import EfficientNetB0
+
+        model = EfficientNetB0()
+        x0 = jnp.zeros((1, 64, 96, 1), jnp.float32)
+        variables = model.init({"params": key}, x0, False)
+        # randomize BN stats so normalization actually transforms values
+        rng = np.random.default_rng(7)
+        stats = jax.tree_util.tree_map_with_path(
+            lambda path, a: jnp.asarray(
+                np.abs(rng.standard_normal(a.shape)) + 0.5
+                if path[-1].key == "var"
+                else rng.standard_normal(a.shape) * 0.1,
+                jnp.float32,
+            ),
+            variables["batch_stats"],
+        )
+        return model, {"params": variables["params"], "batch_stats": stats}
+
+    @pytest.mark.parametrize("hw", [(64, 96), (63, 95)])
+    def test_matches_torch_transcription(self, hw):
+        from tests.oracles.effnet_oracle import effnet_b0_oracle
+
+        model, variables = self._variables(jax.random.key(3))
+        x = (0.5 * np.random.default_rng(1).standard_normal((2, *hw, 1))).astype(np.float32)
+        ours = np.asarray(model.apply(variables, jnp.asarray(x), False))
+        ref = effnet_b0_oracle(x, variables)
+        assert ours.shape == ref.shape == (2, 1280)
+        err = np.max(np.abs(ours - ref))
+        assert err <= 1e-4, err
