@@ -30,12 +30,6 @@ B0_STAGES = (
 )
 
 
-def _same_pad(kernel: int, stride: int) -> str | list:
-    # torch 'static' same padding puts the extra pixel on the right/bottom,
-    # matching XLA's "SAME" convention for odd kernels
-    return "SAME"
-
-
 class SqueezeExcite(nn.Module):
     in_ch: int
     se_ratio: float = 0.25

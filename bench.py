@@ -49,21 +49,62 @@ def measure_tpu() -> float:
     @jax.jit
     def pipeline(aug_state, waves, key):
         aug_state, v1, v2 = prepare_views(pipe, frontend, "mean_var", aug_state, waves, key)
-        emb = model.apply(variables, v1, False)
+        # both views are encoded, as in training (VERDICT r1 Weak #3)
+        emb = model.apply(variables, v1, False) + model.apply(variables, v2, False)
         # device-side scalarization: fetching big arrays through the TPU
         # tunnel would time the transfer, not the compute
         return aug_state, jnp.sum(emb)
 
     key = jax.random.key(1)
-    for _ in range(WARMUP):
-        aug_state, emb = pipeline(aug_state, waves, key)
+    for i in range(WARMUP):
+        aug_state, emb = pipeline(aug_state, waves, jax.random.fold_in(key, i))
     float(emb)
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        aug_state, emb = pipeline(aug_state, waves, key)
+    for i in range(ITERS):
+        aug_state, emb = pipeline(aug_state, waves, jax.random.fold_in(key, WARMUP + i))
     float(emb)  # host fetch of the scalar forces full completion
     dt = (time.perf_counter() - t0) / ITERS
     return BATCH / dt
+
+
+def measure_train_step(batch: int = 256, iters: int = 20) -> float:
+    """Full DeLoRes-S training step (frontend + aug + fwd + bwd + SGD) —
+    the number that governs pretraining throughput (VERDICT r1 item 6)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiossl_tpu.config import load_config
+    from audiossl_tpu.data.augment import AugmentConfig, AugmentPipeline
+    from audiossl_tpu.frontend.stft import LogMelConfig
+    from audiossl_tpu.objectives import get_objective
+    from audiossl_tpu.parallel.mesh import make_mesh, shard_batch
+    from audiossl_tpu.train.optim import sgd_torch
+    from audiossl_tpu.train.step import init_train_state, make_train_step
+
+    mesh = make_mesh()
+    config = load_config(None, "delores_s")
+    config["run"]["batch_size"] = batch
+    obj = get_objective("delores_s")(config)
+    pipe = AugmentPipeline(AugmentConfig.from_dict(config["pretrain"]), epoch_samples=10**6)
+    mel_cfg = LogMelConfig()
+    tx = sgd_torch(0.03)
+    n_dev = mesh.devices.size
+    state = init_train_state(
+        obj, pipe, mel_cfg, tx, mesh, jax.random.key(0), batch // n_dev, CLIP
+    )
+    step = make_train_step(obj, pipe, mel_cfg, tx, mesh)
+    rng = np.random.default_rng(1)
+    waves = shard_batch(mesh, jnp.asarray(0.3 * rng.standard_normal((batch, CLIP)), jnp.float32))
+
+    for _ in range(WARMUP):
+        state, metrics = step(state, waves)
+    float(metrics["train_loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, waves)
+    float(metrics["train_loss"])  # scalar fetch: full completion, no array pull
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt
 
 
 def measure_cpu_baseline(n_clips: int = 16) -> float:
@@ -122,13 +163,15 @@ def main():
         baseline = measure_cpu_baseline()
         json.dump({"cpu_clips_per_sec": baseline}, open(BASELINE_CACHE, "w"))
     tpu = measure_tpu()
+    train = measure_train_step()
     print(
         json.dumps(
             {
-                "metric": "clips/sec/chip through log-mel+aug+encoder",
+                "metric": "clips/sec/chip through log-mel+aug+encoder (both views)",
                 "value": round(tpu, 1),
                 "unit": "clips/sec/chip",
                 "vs_baseline": round(tpu / baseline, 2),
+                "train_clips_per_sec": round(train, 1),
             }
         )
     )
