@@ -49,7 +49,12 @@ class ManifestLoader:
         wire_dtype: str = "float32",  # 'int16' halves host->device bytes
     ):
         self.wire_dtype = wire_dtype
-        self.df = pd.read_csv(csv_path)
+        # a pre-built DataFrame is accepted for in-memory splits (the LAPE
+        # single-CSV tasks' 80/20 stratified train/test split)
+        if isinstance(csv_path, pd.DataFrame):
+            self.df = csv_path.reset_index(drop=True)
+        else:
+            self.df = pd.read_csv(csv_path)
         self.files = self.df[file_col].tolist()
         if path_prefix:
             import os

@@ -42,46 +42,48 @@ def _build_loaders(config, args):
     train_csv, test_csv, valid_csv = args.get("train_csv"), args.get("test_csv"), args.get("valid_csv")
     duration = float(config["run"].get("duration", 1))
     task_name = str(args.get("task", ""))
+    batch = int(config["run"]["batch_size"])
+    workers = int(config["run"].get("num_dataloader_workers", 8))
     # HF-hosted tasks when no CSVs given (check_downstream_hf_availability)
     if not train_csv:
         from audiossl_tpu.data.hf import HFLoader, hf_available
 
         if hf_available(task_name):
             clip = int(duration * sr)
-            batch = int(config["run"]["batch_size"])
             train = HFLoader(task_name, "train", batch, clip, sr, shuffle=True, drop_last=True, seed=1)
             test = HFLoader(task_name, "test", batch, clip, sr)
-            valid = HFLoader(task_name, "validation", batch, clip, sr) if args.get("valid_csv") else None
+            # HF speech_commands always carries a validation split; evaluate
+            # it per-epoch like the reference (train_downstream.py:104-117)
+            try:
+                valid = HFLoader(task_name, "validation", batch, clip, sr)
+            except Exception:
+                log.warning("HF task %s has no usable validation split", task_name)
+                valid = None
             return train, valid, test, clip
     task = get_task(task_name)
-    prefix = None
     if task is not None:
-        # LAPE task registry supplies defaults (CSV layout, label vocab, window)
-        t_train, t_test, t_valid = task.resolve(args.get("data_root"))
-        train_csv, test_csv = train_csv or t_train, test_csv or t_test
-        valid_csv = valid_csv or t_valid
-        file_col = task.file_col
-        labels_map = task.labels
-        duration = task.duration
-        import os
+        # LAPE task registry supplies CSV layout, label vocab, clip window,
+        # path joins, and single-CSV stratified splits (downstream/tasks.py)
+        from audiossl_tpu.downstream.tasks import build_task_loaders
 
-        prefix = os.path.dirname(train_csv)  # AudioPath is root-relative
+        return build_task_loaders(
+            task, batch, sr, workers=workers, data_root=args.get("data_root"),
+            train_csv=train_csv, test_csv=test_csv, valid_csv=valid_csv,
+        )
     clip = int(duration * sr)
-    batch = int(config["run"]["batch_size"])
-    workers = int(config["run"].get("num_dataloader_workers", 8))
     train = ManifestLoader(
         train_csv, batch, clip, sr, labeled=True, shuffle=True,
-        num_workers=workers, file_col=file_col, seed=1, labels_map=labels_map, path_prefix=prefix,
+        num_workers=workers, file_col=file_col, seed=1, labels_map=labels_map,
     )
     test = ManifestLoader(
         test_csv, batch, clip, sr, labeled=True, shuffle=False, drop_last=False,
-        num_workers=workers, file_col=file_col, labels_map=train.label_to_id, path_prefix=prefix,
+        num_workers=workers, file_col=file_col, labels_map=train.label_to_id,
     )
     valid = None
     if valid_csv:
         valid = ManifestLoader(
             valid_csv, batch, clip, sr, labeled=True, shuffle=False, drop_last=False,
-            num_workers=4, file_col=file_col, labels_map=train.label_to_id, path_prefix=prefix,
+            num_workers=4, file_col=file_col, labels_map=train.label_to_id,
         )
     return train, valid, test, clip
 
