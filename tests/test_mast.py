@@ -272,3 +272,28 @@ def test_ssmast_train_step_precomputed_norm_and_mixup():
     waves = shard_batch(mesh, jnp.asarray(0.3 * RNG.standard_normal((B, L)).astype(np.float32)))
     state, metrics = step(state, waves)
     assert np.isfinite(float(metrics["train_loss"]))
+
+
+class TestMViTConfigGuards:
+    def test_cls_embed_on_raises(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(MViTConfig.tiny(), cls_embed_on=True)
+        model = MViT(cfg, input_hw=(32, 32), in_chans=1)
+        x = jnp.zeros((1, 32, 32, 1))
+        with pytest.raises(NotImplementedError, match="cls_embed_on"):
+            model.init({"params": jax.random.key(0)}, x, False)
+
+    def test_dropout_rate_active_in_train(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(MViTConfig.tiny(), dropout_rate=0.5, droppath_rate=0.0)
+        model = MViT(cfg, input_hw=(32, 32), in_chans=1)
+        x = jnp.asarray(RNG.standard_normal((1, 32, 32, 1)).astype(np.float32))
+        vars_ = model.init({"params": jax.random.key(0)}, x, False)
+        eval_out = model.apply(vars_, x, False)
+        t1 = model.apply(vars_, x, True, rngs={"dropout": jax.random.key(1)})
+        t2 = model.apply(vars_, x, True, rngs={"dropout": jax.random.key(2)})
+        # dropout is stochastic in train mode, identity in eval
+        assert np.abs(np.asarray(t1) - np.asarray(t2)).max() > 1e-6
+        assert np.all(np.isfinite(np.asarray(eval_out)))
