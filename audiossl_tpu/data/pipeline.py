@@ -87,11 +87,20 @@ class ManifestLoader:
         wave = load_wave(self.files[idx], self.sample_rate)
         return extract_window_np(wave, self.clip_samples, rng)
 
-    def epoch(self, epoch: int = 0) -> Iterator:
-        order = np.arange(len(self.files))
-        if self.shuffle:
-            np.random.default_rng(self.seed + epoch).shuffle(order)
-        n_batches = len(self)
+    def epoch(self, epoch: int = 0, order: np.ndarray | None = None) -> Iterator:
+        """``order`` overrides the shuffle with an explicit index sequence
+        (the DeepCluster-v1 UnifLabelSampler epoch — utils.py:105-148)."""
+        if order is None:
+            order = np.arange(len(self.files))
+            if self.shuffle:
+                np.random.default_rng(self.seed + epoch).shuffle(order)
+        else:
+            order = np.asarray(order)
+        n_batches = (
+            len(order) // self.batch_size
+            if self.drop_last
+            else -(-len(order) // self.batch_size)
+        )
         rng = np.random.default_rng((self.seed, epoch))
 
         from audiossl_tpu.data import native

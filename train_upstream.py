@@ -63,6 +63,14 @@ def run_training(args, config):
         state, ckpt_dir = train_decar(
             config, args.input, load_checkpoint=args.load_checkpoint, max_steps=args.max_steps
         )
+    elif args.upstream == "decar_v1":
+        # DeepCluster-v1 epoch mode: faiss-style k-means pseudo-labels +
+        # UnifLabelSampler + per-epoch top-layer reset
+        from audiossl_tpu.train.deepcluster_loop import train_deepcluster_v1
+
+        state, ckpt_dir = train_deepcluster_v1(
+            config, args.input, load_checkpoint=args.load_checkpoint, max_steps=args.max_steps
+        )
     else:
         from audiossl_tpu.train.loop import train_upstream
 
