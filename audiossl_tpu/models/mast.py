@@ -23,13 +23,16 @@ VARIANTS = {
 }
 
 
-def mast_config(model_size: str = "base", fstride: int = 10, tstride: int = 10) -> MViTConfig:
+def mast_config(
+    model_size: str = "base", fstride: int = 10, tstride: int = 10, compute_dtype=None
+) -> MViTConfig:
     return VARIANTS[model_size](
         patch_kernel=(16, 16),
         patch_stride=(tstride, fstride),  # H = time, W = freq after transpose
         patch_padding=(0, 0),
         use_abs_pos=False,
         cls_embed_on=False,
+        compute_dtype=compute_dtype,
     )
 
 
@@ -42,6 +45,9 @@ class MASTEncoder(nn.Module):
     fstride: int = 10
     tstride: int = 10
     remat: bool = False  # per-block activation checkpointing (MODEL.ACT_CHECKPOINT)
+    # bf16 compute by default (same policy as AudioNTT: f32 norm stats,
+    # f32 softmax, f32 output); set None for exact-f32
+    compute_dtype: jnp.dtype | None = jnp.bfloat16
     # PatchDrop (augmentations.py:64-79) is commented out of the reference MAST
     # forward (mast.py:208-217) — and token dropping is incompatible with
     # MViT's grid-structured pooled attention — so it is not wired in here;
@@ -51,7 +57,7 @@ class MASTEncoder(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         # time on the H axis: [B, F, T, 1] -> [B, T, F, 1] (mast.py:191)
         x = jnp.swapaxes(x, 1, 2)
-        cfg = mast_config(self.model_size, self.fstride, self.tstride)
+        cfg = mast_config(self.model_size, self.fstride, self.tstride, self.compute_dtype)
         tokens = MViT(
             cfg,
             input_hw=(self.input_tdim, self.input_fdim),
@@ -60,7 +66,7 @@ class MASTEncoder(nn.Module):
             final_norm=False,  # reference forward skips self.v.norm (mast.py:227)
             remat=self.remat,
         )(x, train)
-        return jnp.mean(tokens, axis=1)
+        return jnp.mean(tokens.astype(jnp.float32), axis=1)
 
 
 class MASTWithHead(nn.Module):

@@ -20,7 +20,7 @@ and we follow that.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +61,9 @@ class MViTConfig:
     residual_pooling: bool = True
     dim_mul_in_att: bool = True
     dropout_rate: float = 0.0
+    # bf16 doubles MXU throughput; LayerNorm stats and attention softmax
+    # stay f32. None keeps the exact-f32 parity path (tests/oracles).
+    compute_dtype: Any = None
 
     @staticmethod
     def _variant(depth: int, droppath: float, stage_blocks: tuple[int, ...], kw) -> "MViTConfig":
@@ -137,6 +140,7 @@ class AttentionPool(nn.Module):
     dim_per_head: int
     kernel: tuple[int, int]
     stride: tuple[int, int]
+    dtype: Any = None  # compute dtype; None = follow the input (f32 path)
 
     @nn.compact
     def __call__(self, x: jax.Array, hw: tuple[int, int]):
@@ -152,12 +156,12 @@ class AttentionPool(nn.Module):
             padding=[(pad[0], pad[0]), (pad[1], pad[1])],
             feature_group_count=c,
             use_bias=False,
-            dtype=t.dtype,
+            dtype=self.dtype or t.dtype,
         )(t)
         new_hw = (t.shape[1], t.shape[2])
         t = t.reshape(b, h, new_hw[0] * new_hw[1], c)
-        t = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)(t)
-        return t, new_hw
+        t = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)(t)  # f32 stats
+        return (t.astype(self.dtype) if self.dtype else t), new_hw
 
 
 class MultiScaleAttention(nn.Module):
@@ -171,25 +175,31 @@ class MultiScaleAttention(nn.Module):
     qkv_bias: bool
     rel_pos_spatial: bool
     residual_pooling: bool
+    dtype: Any = None  # compute dtype (bf16 for the MXU); None = input dtype
 
     @nn.compact
     def __call__(self, x: jax.Array):
         b, n, _ = x.shape
+        dt = self.dtype or x.dtype
+        # matmul precision: exact f32 on the f32 parity path, native MXU
+        # bf16 passes when a compute dtype is set
+        prec = None if self.dtype else jax.lax.Precision.HIGHEST
         head_dim = self.dim_out // self.num_heads
         scale = head_dim**-0.5
-        qkv = nn.Dense(self.dim_out * 3, use_bias=self.qkv_bias, name="qkv", dtype=x.dtype)(x)
+        qkv = nn.Dense(self.dim_out * 3, use_bias=self.qkv_bias, name="qkv", dtype=dt)(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
         hw = self.input_hw
         q_hw, k_hw = hw, hw
         if len(self.kernel_q) and int(np.prod(self.stride_q)) * int(np.prod(self.kernel_q)) > 1:
-            q, q_hw = AttentionPool(head_dim, self.kernel_q, self.stride_q, name="pool_q")(q, hw)
+            q, q_hw = AttentionPool(head_dim, self.kernel_q, self.stride_q, dtype=self.dtype, name="pool_q")(q, hw)
         if len(self.kernel_kv) and int(np.prod(self.stride_kv)) * int(np.prod(self.kernel_kv)) > 1:
-            k, k_hw = AttentionPool(head_dim, self.kernel_kv, self.stride_kv, name="pool_k")(k, hw)
-            v, _ = AttentionPool(head_dim, self.kernel_kv, self.stride_kv, name="pool_v")(v, hw)
+            k, k_hw = AttentionPool(head_dim, self.kernel_kv, self.stride_kv, dtype=self.dtype, name="pool_k")(k, hw)
+            v, _ = AttentionPool(head_dim, self.kernel_kv, self.stride_kv, dtype=self.dtype, name="pool_v")(v, hw)
 
-        attn = jnp.einsum("bhqc,bhkc->bhqk", q * scale, k, precision=jax.lax.Precision.HIGHEST)
+        attn = jnp.einsum("bhqc,bhkc->bhqk", q * scale, k, precision=prec)
+        attn = attn.astype(jnp.float32)  # logits + softmax stay f32
 
         if self.rel_pos_spatial:
             qh, qw = q_hw
@@ -202,33 +212,34 @@ class MultiScaleAttention(nn.Module):
             rel_pos_w = self.param(
                 "rel_pos_w", nn.initializers.truncated_normal(0.02), (rel_dim_w, head_dim)
             )
-            rh = rel_pos_h[jnp.asarray(_rel_dist_index(qh, kh))]  # [qh, kh, C]
-            rw = rel_pos_w[jnp.asarray(_rel_dist_index(qw, kw))]  # [qw, kw, C]
+            rh = rel_pos_h[jnp.asarray(_rel_dist_index(qh, kh))].astype(dt)  # [qh, kh, C]
+            rw = rel_pos_w[jnp.asarray(_rel_dist_index(qw, kw))].astype(dt)  # [qw, kw, C]
             r_q = q.reshape(b, self.num_heads, qh, qw, head_dim)
-            rel_h = jnp.einsum("byhwc,hkc->byhwk", r_q, rh)
-            rel_w = jnp.einsum("byhwc,wkc->byhwk", r_q, rw)
+            rel_h = jnp.einsum("byhwc,hkc->byhwk", r_q, rh, precision=prec).astype(jnp.float32)
+            rel_w = jnp.einsum("byhwc,wkc->byhwk", r_q, rw, precision=prec).astype(jnp.float32)
             attn = attn.reshape(b, self.num_heads, qh, qw, kh, kw)
             attn = attn + rel_h[..., :, None] + rel_w[..., None, :]
             attn = attn.reshape(b, self.num_heads, qh * qw, kh * kw)
 
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhqk,bhkc->bhqc", attn, v, precision=jax.lax.Precision.HIGHEST)
+        attn = jax.nn.softmax(attn, axis=-1).astype(dt)
+        out = jnp.einsum("bhqk,bhkc->bhqc", attn, v, precision=prec)
         if self.residual_pooling:
             out = out + q
         out = out.transpose(0, 2, 1, 3).reshape(b, -1, self.dim_out)
-        out = nn.Dense(self.dim_out, name="proj", dtype=out.dtype)(out)
+        out = nn.Dense(self.dim_out, name="proj", dtype=dt)(out)
         return out, q_hw
 
 
 class Mlp(nn.Module):
     hidden: int
     out: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, dtype=x.dtype)(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype or x.dtype)(x)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.out, dtype=x.dtype)(x)
+        return nn.Dense(self.out, dtype=self.dtype or x.dtype)(x)
 
 
 def drop_path(x: jax.Array, rate: float, deterministic: bool, rng) -> jax.Array:
@@ -254,11 +265,14 @@ class MultiScaleBlock(nn.Module):
     rel_pos_spatial: bool
     residual_pooling: bool
     dim_mul_in_att: bool
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool):
         att_dim = self.dim_out if self.dim_mul_in_att else self.dim
         x_norm = nn.LayerNorm(epsilon=1e-6, name="norm1", dtype=jnp.float32)(x)
+        if self.dtype:
+            x_norm = x_norm.astype(self.dtype)  # f32 LN stats, bf16 compute
         x_block, new_hw = MultiScaleAttention(
             dim_out=att_dim,
             num_heads=self.num_heads,
@@ -270,11 +284,12 @@ class MultiScaleBlock(nn.Module):
             qkv_bias=self.qkv_bias,
             rel_pos_spatial=self.rel_pos_spatial,
             residual_pooling=self.residual_pooling,
+            dtype=self.dtype,
             name="attn",
         )(x_norm)
 
         if self.dim_mul_in_att and self.dim != self.dim_out:
-            x = nn.Dense(self.dim_out, name="proj", dtype=x.dtype)(x_norm)
+            x = nn.Dense(self.dim_out, name="proj", dtype=self.dtype or x.dtype)(x_norm)
         # skip-path pooling (max pool, kernel = stride+1)
         if len(self.stride_q) and int(np.prod(self.stride_q)) > 1:
             ks = tuple(s + 1 if s > 1 else s for s in self.stride_q)
@@ -290,9 +305,11 @@ class MultiScaleBlock(nn.Module):
         rng = self.make_rng("dropout") if train and self.droppath > 0 else None
         x = x + drop_path(x_block, self.droppath, not train, rng)
         x_norm2 = nn.LayerNorm(epsilon=1e-6, name="norm2", dtype=jnp.float32)(x)
-        x_mlp = Mlp(int(att_dim * self.mlp_ratio), self.dim_out, name="mlp")(x_norm2)
+        if self.dtype:
+            x_norm2 = x_norm2.astype(self.dtype)
+        x_mlp = Mlp(int(att_dim * self.mlp_ratio), self.dim_out, dtype=self.dtype, name="mlp")(x_norm2)
         if not self.dim_mul_in_att and self.dim != self.dim_out:
-            x = nn.Dense(self.dim_out, name="proj", dtype=x.dtype)(x_norm2)
+            x = nn.Dense(self.dim_out, name="proj", dtype=self.dtype or x.dtype)(x_norm2)
         rng2 = self.make_rng("dropout") if train and self.droppath > 0 else None
         x = x + drop_path(x_mlp, self.droppath, not train, rng2)
         return x, new_hw
@@ -324,13 +341,14 @@ class MViT(nn.Module):
                 "for a cls-token transformer)"
             )
         pk, ps, pp = cfg.patch_kernel, cfg.patch_stride, cfg.patch_padding
+        cdt = cfg.compute_dtype
         x = nn.Conv(
             cfg.embed_dim,
             pk,
             strides=ps,
             padding=[(pp[0], pp[0]), (pp[1], pp[1])],
             name="patch_embed",
-            dtype=x.dtype,
+            dtype=cdt or x.dtype,
         )(x)
         h, w = x.shape[1], x.shape[2]
         x = x.reshape(x.shape[0], h * w, cfg.embed_dim)
@@ -339,7 +357,7 @@ class MViT(nn.Module):
             pos = self.param(
                 "pos_embed", nn.initializers.truncated_normal(0.02), (1, h * w, cfg.embed_dim)
             )
-            x = x + pos
+            x = (x + pos).astype(cdt) if cdt else x + pos
         if cfg.dropout_rate > 0.0:
             # post-pos-embed dropout (mvit_model.py:150-152 pos_drop)
             x = nn.Dropout(cfg.dropout_rate, deterministic=not train)(x)
@@ -372,6 +390,7 @@ class MViT(nn.Module):
                 rel_pos_spatial=cfg.rel_pos_spatial,
                 residual_pooling=cfg.residual_pooling,
                 dim_mul_in_att=cfg.dim_mul_in_att,
+                dtype=cdt,
                 name=f"block{i}",
             )(x, train)
             embed_dim = dim_out

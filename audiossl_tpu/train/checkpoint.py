@@ -24,14 +24,47 @@ def _path(d: str) -> str:
     return os.path.abspath(os.path.expanduser(d))
 
 
-def save_checkpoint(ckpt_dir: str, step: int, state: Any, encoder_vars: Any, config: dict | None = None) -> None:
+# async writers: the device->host copy is the only blocking part of a save;
+# serialization + fsync happen on a background thread so the train loop keeps
+# dispatching (a sync orbax save of an MViT-base state stalls it for seconds).
+# One checkpointer per artifact kind so state and encoder writes overlap; a
+# save() on the same checkpointer waits for its previous write first, which
+# bounds the queue at one outstanding save per kind.
+_ASYNC: dict[str, ocp.AsyncCheckpointer] = {}
+
+
+def _async_ckptr(kind: str) -> ocp.AsyncCheckpointer:
+    c = _ASYNC.get(kind)
+    if c is None:
+        c = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        _ASYNC[kind] = c
+    return c
+
+
+def wait_until_finished() -> None:
+    """Block until all in-flight checkpoint writes have been committed.
+    Call before restoring, benchmarking, or returning from a trainer."""
+    for c in _ASYNC.values():
+        c.wait_until_finished()
+
+
+def save_checkpoint(
+    ckpt_dir: str, step: int, state: Any, encoder_vars: Any, config: dict | None = None,
+    block: bool = False,
+) -> None:
     ckpt_dir = _path(ckpt_dir)
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.join(ckpt_dir, "state", str(step)), state, force=True)
-        ckptr.save(os.path.join(ckpt_dir, "encoder", str(step)), encoder_vars, force=True)
+    _async_ckptr("state").save(
+        os.path.join(ckpt_dir, "state", str(step)), args=ocp.args.StandardSave(state), force=True
+    )
+    _async_ckptr("encoder").save(
+        os.path.join(ckpt_dir, "encoder", str(step)),
+        args=ocp.args.StandardSave(encoder_vars), force=True,
+    )
     if config is not None:
         with open(os.path.join(ckpt_dir, "config.yaml"), "w") as f:
             yaml.safe_dump(config, f)
+    if block:
+        wait_until_finished()
 
 
 def latest_step(ckpt_dir: str, kind: str = "state") -> int | None:
@@ -45,6 +78,7 @@ def latest_step(ckpt_dir: str, kind: str = "state") -> int | None:
 def restore_checkpoint(ckpt_dir: str, target: Any, step: int | None = None, kind: str = "state") -> Any:
     """Restore into the structure/shardings of ``target`` (an abstract or
     concrete pytree)."""
+    wait_until_finished()  # a just-written step may still be committing
     ckpt_dir = _path(ckpt_dir)
     if step is None:
         step = latest_step(ckpt_dir, kind)
@@ -64,6 +98,7 @@ def load_raw(ckpt_dir: str, step: int, kind: str = "encoder") -> Any:
     """Restore a checkpoint as saved, without a target structure — for
     cross-shape transplants (models/surgery.py) where the stored pos-embed /
     rel-pos shapes intentionally differ from the target model's."""
+    wait_until_finished()
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(os.path.join(_path(ckpt_dir), kind, str(step)))
 

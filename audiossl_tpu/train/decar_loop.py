@@ -256,4 +256,5 @@ def train_decar(
             ckpt_dir, global_step, state, obj.encoder_variables(state.params, state.batch_stats), config
         )
     stats_file.close()
+    ckptmod.wait_until_finished()  # commit in-flight async saves before handoff
     return state, ckpt_dir

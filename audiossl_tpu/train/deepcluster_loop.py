@@ -242,6 +242,7 @@ def train_deepcluster_v1(
             config,
         )
     stats_file.close()
+    ckptmod.wait_until_finished()  # commit in-flight async saves before handoff
     result = DeepClusterResult(
         step=jnp.asarray(global_step), params=params,
         batch_stats=batch_stats, assignments=last_assignments,

@@ -217,4 +217,5 @@ def train_upstream(
                 objective.encoder_variables(state.params, state.batch_stats), config,
             )
     stats_file.close()
+    ckpt.wait_until_finished()  # commit in-flight async saves before handoff
     return state, ckpt_dir

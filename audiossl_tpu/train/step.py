@@ -162,7 +162,9 @@ def init_train_state(
     dummy = jnp.zeros((local_batch, mel_cfg.n_mels, n_frames, 1), jnp.float32)
     views = (dummy, dummy) if not labeled else (dummy, dummy, jnp.zeros((local_batch,), jnp.int32))
     k_init, k_rng = jax.random.split(key)
-    params, batch_stats, ssl_state = objective.init(k_init, views)
+    # jit the init: eager flax init dispatches one op at a time, which is
+    # minutes of round trips for MViT-base through a remote-device tunnel
+    params, batch_stats, ssl_state = jax.jit(objective.init)(k_init, views)
     opt_state = tx.init(params)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),

@@ -297,3 +297,19 @@ class TestMViTConfigGuards:
         # dropout is stochastic in train mode, identity in eval
         assert np.abs(np.asarray(t1) - np.asarray(t2)).max() > 1e-6
         assert np.all(np.isfinite(np.asarray(eval_out)))
+
+
+def test_mast_bf16_close_to_f32():
+    """The default bf16 compute path tracks the exact-f32 path (f32 LN
+    stats + f32 softmax keep the error at bf16 rounding scale)."""
+    enc16 = MASTEncoder(input_fdim=48, input_tdim=64, model_size="tiny")
+    enc32 = MASTEncoder(input_fdim=48, input_tdim=64, model_size="tiny", compute_dtype=None)
+    x = jnp.asarray(RNG.standard_normal((2, 48, 64, 1)).astype(np.float32))
+    vars_ = enc32.init({"params": jax.random.key(0)}, x, False)
+    o32 = np.asarray(enc32.apply(vars_, x, False))
+    o16 = np.asarray(enc16.apply(vars_, x, False))
+    assert o16.dtype == np.float32  # output is upcast
+    cos = np.sum(o16 * o32) / (np.linalg.norm(o16) * np.linalg.norm(o32))
+    assert cos > 0.999, cos
+    rel = np.abs(o16 - o32).max() / (np.abs(o32).max() + 1e-9)
+    assert rel < 0.05, rel
