@@ -76,6 +76,7 @@ class MASTWithHead(nn.Module):
     input_fdim: int = 128
     input_tdim: int = 1024
     model_size: str = "base"
+    remat: bool = False  # per-block activation checkpointing for big batches
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -83,6 +84,7 @@ class MASTWithHead(nn.Module):
             input_fdim=self.input_fdim,
             input_tdim=self.input_tdim,
             model_size=self.model_size,
+            remat=self.remat,
             name="mast",
         )(x, train)
         return nn.Dense(self.output_dim, name="mlp_fc1", dtype=z.dtype)(z)

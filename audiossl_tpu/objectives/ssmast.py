@@ -55,6 +55,7 @@ class SSMast:
             input_fdim=int(inp.get("n_mels", 128)),
             input_tdim=int(inp.get("target_length", 1024)),
             model_size=str(pre.get("model_size", "base")),
+            remat=bool(pre.get("remat", False)),  # MODEL.ACT_CHECKPOINT
         )
 
     def init(self, key: jax.Array, sample_views):
