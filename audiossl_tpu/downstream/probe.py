@@ -109,7 +109,11 @@ def run_downstream(config: dict[str, Any], args: dict[str, Any]):
         input_tdim=n_frames,
     )
     dummy = jnp.zeros((2, mel_cfg.n_mels, n_frames, 1), jnp.float32)
-    variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, dummy, False)
+    # jitted init: eager flax init of a transformer encoder is minutes of
+    # per-op round trips on a remote-device link
+    variables = jax.jit(
+        lambda k0, k1: model.init({"params": k0, "dropout": k1}, dummy, False)
+    )(jax.random.key(0), jax.random.key(1))
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
     # upstream -> downstream weight handoff (utils.py:199-207 equivalent)

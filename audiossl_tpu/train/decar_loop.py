@@ -97,7 +97,8 @@ def train_decar(
 
     # ---- init state
     dummy = jnp.zeros((b_local, mel_cfg.n_mels, n_frames, 1), jnp.float32)
-    params, batch_stats, _ = obj.init(jax.random.key(seed), (dummy, dummy))
+    # jitted init: eager flax init is one tunnel round trip per op
+    params, batch_stats, _ = jax.jit(obj.init)(jax.random.key(seed), (dummy, dummy))
     aug_local = pipeline.init_state(mel_cfg.n_mels, n_frames)
     state = DecarTrainState(
         step=jnp.zeros((), jnp.int32),

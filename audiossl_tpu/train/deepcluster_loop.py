@@ -83,7 +83,9 @@ def train_deepcluster_v1(
 
     n_frames = mel_cfg.num_frames(clip)
     dummy = jnp.zeros((2, mel_cfg.n_mels, n_frames, 1), jnp.float32)
-    enc_vars = encoder.init({"params": jax.random.key(seed)}, dummy, False)
+    enc_vars = jax.jit(lambda k: encoder.init({"params": k}, dummy, False))(
+        jax.random.key(seed)
+    )
     params = {"encoder": enc_vars["params"]}
     batch_stats = {"encoder": enc_vars.get("batch_stats", {})}
 
