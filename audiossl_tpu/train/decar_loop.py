@@ -232,7 +232,9 @@ def train_decar(
     ckpt_dir = save_path + "_chkp"
     os.makedirs(ckpt_dir, exist_ok=True)
     stats_file = open(os.path.join(ckpt_dir, "stats.jsonl"), "a", buffering=1)
-    losses = AverageMeter()
+    from audiossl_tpu.train.loop import MetricsBuffer
+
+    buf = MetricsBuffer(int(run.get("log_every", 10)), stats_file, AverageMeter(), AverageMeter())
     global_step = int(state.step)
     done = False
     for epoch in range(epochs):
@@ -246,13 +248,13 @@ def train_decar(
         t0 = time.time()
         for waves, idxs in loader.epoch(epoch):
             state, loss = step_fn(state, shard_batch(mesh, jnp.asarray(waves)), shard_batch(mesh, jnp.asarray(idxs)))
-            losses.update(float(loss), batch)
             global_step += 1
-            print(json.dumps({"epoch": epoch, "step": global_step, "train_loss": float(loss)}), file=stats_file)
+            buf.push(epoch, global_step, {"train_loss": loss})
             if max_steps and global_step >= max_steps:
                 done = True
                 break
-        log.info("epoch %d done: loss %.4f (%.1fs)", epoch, losses.avg, time.time() - t0)
+        buf.flush()
+        log.info("epoch %d done: loss %.4f (%.1fs)", epoch, buf.last_loss, time.time() - t0)
         ckptmod.save_checkpoint(
             ckpt_dir, global_step, state, obj.encoder_variables(state.params, state.batch_stats), config
         )

@@ -160,6 +160,9 @@ def train_deepcluster_v1(
     ckpt_dir = save_path + "_chkp"
     os.makedirs(ckpt_dir, exist_ok=True)
     stats_file = open(os.path.join(ckpt_dir, "stats.jsonl"), "a", buffering=1)
+    from audiossl_tpu.train.loop import MetricsBuffer
+
+    buf = MetricsBuffer(int(run.get("log_every", 10)), stats_file, AverageMeter(), AverageMeter())
 
     start_epoch = 0
     if load_checkpoint:
@@ -216,7 +219,6 @@ def train_deepcluster_v1(
                 })
             new_states.append(s)
         opt_state = tuple(new_states)
-        losses = AverageMeter()
         t0 = time.time()
         for b, (waves, _) in enumerate(loader.epoch(epoch, order=order)):
             if len(waves) < batch:
@@ -228,15 +230,13 @@ def train_deepcluster_v1(
                 shard_batch(mesh, jnp.asarray(waves)), shard_batch(mesh, y),
                 jax.random.key(seed * 1_000_003 + global_step),
             )
-            losses.update(float(loss), batch)
             global_step += 1
-            print(json.dumps({"epoch": epoch, "step": global_step,
-                              "train_loss": float(loss), "kmeans_loss": float(km_loss)}),
-                  file=stats_file)
+            buf.push(epoch, global_step, {"train_loss": loss, "kmeans_loss": jnp.asarray(km_loss)})
             if max_steps and global_step >= max_steps:
                 done = True
                 break
-        log.info("epoch %d: kmeans_loss %.4f CE %.4f (%.1fs)", epoch, km_loss, losses.avg, time.time() - t0)
+        buf.flush()
+        log.info("epoch %d: kmeans_loss %.4f CE %.4f (%.1fs)", epoch, km_loss, buf.last_loss, time.time() - t0)
         ckptmod.save_checkpoint(
             ckpt_dir, global_step,
             {"epoch": epoch + 1, "params": params, "batch_stats": batch_stats, "opt_state": opt_state},
