@@ -10,7 +10,6 @@ mb{rank}.pth equivalent).
 """
 from __future__ import annotations
 
-import json
 import logging
 import os
 import time

@@ -20,7 +20,6 @@ per epoch over [N, 128] whitened features — not a hot path).
 """
 from __future__ import annotations
 
-import json
 import logging
 import os
 import time
