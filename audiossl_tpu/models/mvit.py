@@ -125,6 +125,20 @@ def _pool_out(size: int, kernel: int, stride: int, pad: int) -> int:
     return (size + 2 * pad - kernel) // stride + 1
 
 
+def block_out_hw(
+    hw: tuple[int, int], kernel_q: tuple[int, int], stride_q: tuple[int, int]
+) -> tuple[int, int]:
+    """Static token-grid size after a block's q pooling (same conv geometry
+    as AttentionPool: padding = kernel // 2)."""
+    # exactly the AttentionPool trigger condition in MultiScaleAttention
+    if not (len(kernel_q) and int(np.prod(stride_q)) * int(np.prod(kernel_q)) > 1):
+        return hw
+    return (
+        _pool_out(hw[0], kernel_q[0], stride_q[0], kernel_q[0] // 2),
+        _pool_out(hw[1], kernel_q[1], stride_q[1], kernel_q[1] // 2),
+    )
+
+
 def _rel_dist_index(q_size: int, k_size: int) -> np.ndarray:
     """Static distance-index matrix into a rel-pos table (cal_rel_pos_spatial:61-76)."""
     q_ratio = max(k_size / q_size, 1.0)
@@ -269,11 +283,15 @@ class MultiScaleBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool):
+        """-> x only. The output grid is a static function of input_hw and
+        stride_q (see MViT.block_out_hw) — returning the tuple through an
+        nn.remat wrapper would turn it into traced values and break the
+        next block's static reshapes."""
         att_dim = self.dim_out if self.dim_mul_in_att else self.dim
         x_norm = nn.LayerNorm(epsilon=1e-6, name="norm1", dtype=jnp.float32)(x)
         if self.dtype:
             x_norm = x_norm.astype(self.dtype)  # f32 LN stats, bf16 compute
-        x_block, new_hw = MultiScaleAttention(
+        x_block, _ = MultiScaleAttention(
             dim_out=att_dim,
             num_heads=self.num_heads,
             input_hw=self.input_hw,
@@ -312,7 +330,7 @@ class MultiScaleBlock(nn.Module):
             x = nn.Dense(self.dim_out, name="proj", dtype=self.dtype or x.dtype)(x_norm2)
         rng2 = self.make_rng("dropout") if train and self.droppath > 0 else None
         x = x + drop_path(x_mlp, self.droppath, not train, rng2)
-        return x, new_hw
+        return x
 
 
 class MViT(nn.Module):
@@ -375,7 +393,7 @@ class MViT(nn.Module):
             else:
                 dim_out = round_width(embed_dim, dim_mul[i + 1], divisor=round_width(num_heads, head_mul[i + 1]))
             block_cls = nn.remat(MultiScaleBlock, static_argnums=(2,)) if self.remat else MultiScaleBlock
-            x, hw = block_cls(
+            x = block_cls(
                 dim=embed_dim,
                 dim_out=dim_out,
                 num_heads=num_heads,
@@ -393,6 +411,7 @@ class MViT(nn.Module):
                 dtype=cdt,
                 name=f"block{i}",
             )(x, train)
+            hw = block_out_hw(hw, pool_q[i], stride_q[i])
             embed_dim = dim_out
 
         if self.final_norm:

@@ -313,3 +313,42 @@ def test_mast_bf16_close_to_f32():
     assert cos > 0.999, cos
     rel = np.abs(o16 - o32).max() / (np.abs(o32).max() + 1e-9)
     assert rel < 0.05, rel
+
+
+def test_ssmast_remat_step():
+    """pretrain.remat: one SS-MAST step with per-block activation
+    checkpointing compiles and runs (MODEL.ACT_CHECKPOINT equivalent)."""
+    from audiossl_tpu.data.augment import AugmentConfig, AugmentPipeline
+    from audiossl_tpu.frontend import build_frontend
+    from audiossl_tpu.objectives import get_objective
+    from audiossl_tpu.parallel.mesh import make_mesh, shard_batch
+    from audiossl_tpu.train.optim import adamw_torch
+    from audiossl_tpu.train.step import init_train_state, make_train_step
+
+    cfg = {
+        "run": {"batch_size": 8},
+        "pretrain": {
+            "base_encoder": {"type": "MAST", "output_dim": 768, "return_all_layers": False},
+            "model_size": "tiny",
+            "remat": True,
+            "contrastive_dim": 16,
+            "num_negatives": 32,
+            "softmax_temperature": 0.07,
+            "steps_per_epoch": 2,
+            "normalization": "none",
+            "input": {"type": "fbank", "sampling_rate": 16000, "length_wave": 0.95, "n_mels": 64, "target_length": 96},
+            "augmentations": {},
+        },
+    }
+    mesh = make_mesh()
+    obj = get_objective("ssmast")(cfg)
+    assert obj.encoder.remat
+    pipe = AugmentPipeline(AugmentConfig.from_dict(cfg["pretrain"]), epoch_samples=16)
+    frontend = build_frontend(cfg["pretrain"]["input"])
+    tx = adamw_torch(3e-4, weight_decay=0.0)
+    B, L = 8, 15200
+    state = init_train_state(obj, pipe, frontend, tx, mesh, jax.random.key(0), B // mesh.devices.size, L, normalization="none")
+    step = make_train_step(obj, pipe, frontend, tx, mesh, normalization="none")
+    waves = shard_batch(mesh, jnp.asarray(0.3 * RNG.standard_normal((B, L)).astype(np.float32)))
+    state, metrics = step(state, waves)
+    assert np.isfinite(float(metrics["train_loss"]))
