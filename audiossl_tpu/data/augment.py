@@ -146,15 +146,17 @@ def mix_gaussian_noise(x: jax.Array, key: jax.Array, ratio: float = 0.3) -> jax.
 
 def mast_noise(x: jax.Array, key: jax.Array, max_shift: int = 10) -> jax.Array:
     """MAST fbank noise aug (extras/mast_new/mast/dataloader.py:205-207):
-    add U(0,1) noise scaled by a per-batch U(0,1)/10 draw, then roll the time
-    axis by randint(-10, 10). ``x`` is [B, C, F, T]; the reference fbank is
-    [T, M] and rolls dim 0 — our time axis is last."""
+    add U(0,1) noise scaled by a U(0,1)/10 draw, then roll the time axis by
+    randint(-10, 10). The reference draws both per clip (inside
+    __getitem__); scale and shift are therefore per-sample here too.
+    ``x`` is [B, C, F, T]; the reference fbank is [T, M] and rolls dim 0 —
+    our time axis is last."""
+    b = x.shape[0]
     kn, ks, kr = jax.random.split(key, 3)
-    x = x + jax.random.uniform(kn, x.shape, x.dtype) * (
-        jax.random.uniform(ks, (), x.dtype) / 10.0
-    )
-    shift = jax.random.randint(kr, (), -max_shift, max_shift)
-    return jnp.roll(x, shift, axis=-1)
+    scale = jax.random.uniform(ks, (b, 1, 1, 1), x.dtype) / 10.0
+    x = x + jax.random.uniform(kn, x.shape, x.dtype) * scale
+    shifts = jax.random.randint(kr, (b,), -max_shift, max_shift)
+    return jax.vmap(lambda xi, s: jnp.roll(xi, s, axis=-1))(x, shifts)
 
 
 class AugmentState(NamedTuple):

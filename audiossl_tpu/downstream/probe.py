@@ -56,8 +56,12 @@ def _build_loaders(config, args):
             # it per-epoch like the reference (train_downstream.py:104-117)
             try:
                 valid = HFLoader(task_name, "validation", batch, clip, sr)
-            except Exception:
-                log.warning("HF task %s has no usable validation split", task_name)
+            except Exception as e:
+                # distinguish a missing split from a broken cache in the log
+                log.warning(
+                    "HF task %s: validation split unavailable, skipping per-epoch "
+                    "validation (%s: %s)", task_name, type(e).__name__, e,
+                )
                 valid = None
             return train, valid, test, clip
     task = get_task(task_name)
@@ -122,10 +126,14 @@ def run_downstream(config: dict[str, Any], args: dict[str, Any]):
         enc_target = {"params": params["encoder"], "batch_stats": batch_stats.get("encoder", {})}
         try:
             enc = ckpt.load_encoder(args["checkpoint"], enc_target)
-        except Exception:
+        except Exception as strict_err:
             # shapes differ — transformer encoder pretrained at another input
             # length: transplant with pos/rel-pos surgery, the reference's
-            # DeiT/AudioSet adaptation (src/encoder/mast.py:100-173)
+            # DeiT/AudioSet adaptation (src/encoder/mast.py:100-173). The
+            # transplant raises if it transfers nothing, so a genuinely
+            # incompatible/corrupt checkpoint cannot silently yield a
+            # random encoder.
+            log.info("strict encoder load failed (%s); trying cross-shape transplant", strict_err)
             from audiossl_tpu.models.surgery import load_pretrained_encoder
 
             enc_type = str(ds["base_encoder"].get("type", ""))

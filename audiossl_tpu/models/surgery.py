@@ -103,6 +103,7 @@ def transplant_variables(
     src_grid: tuple[int, int] | None = None,
     dst_grid: tuple[int, int] | None = None,
     prefix_tokens: int = 0,
+    stats: dict | None = None,
 ) -> Any:
     """Adapt ``source`` variables onto ``target``'s structure:
 
@@ -114,8 +115,11 @@ def transplant_variables(
       fold channels by summation (DeiT RGB -> 1-channel fbank).
 
     Leaves missing from ``source`` keep their ``target`` (fresh) values, like
-    load_state_dict(strict=False) in the reference.
+    load_state_dict(strict=False) in the reference. If ``stats`` is given it
+    is filled with {"copied", "adapted", "kept_fresh"} leaf counts so callers
+    can detect a transplant that matched nothing (i.e. a random encoder).
     """
+    counts = {"copied": 0, "adapted": 0, "kept_fresh": 0}
 
     def walk(tgt, src, name: str):
         if isinstance(tgt, dict) and isinstance(src, dict):
@@ -127,12 +131,15 @@ def transplant_variables(
         if not (hasattr(tgt, "shape") and hasattr(src, "shape")):
             return tgt
         if tgt.shape == src.shape:
+            counts["copied"] += 1
             return src
         if name == "pos_embed" and src_grid and dst_grid:
+            counts["adapted"] += 1
             return resize_grid_pos_embed(
                 jnp.asarray(src), src_grid, dst_grid, prefix_tokens
             ).astype(tgt.dtype)
         if _is_rel_pos(name) and src.ndim == 2 and tgt.ndim == 2 and src.shape[1] == tgt.shape[1]:
+            counts["adapted"] += 1
             return resize_rel_pos(jnp.asarray(src), tgt.shape[0]).astype(tgt.dtype)
         if (
             src.ndim == 4
@@ -141,10 +148,15 @@ def transplant_variables(
             and src.shape[2] > 1
             and src.shape[:2] + src.shape[3:] == tgt.shape[:2] + tgt.shape[3:]
         ):
+            counts["adapted"] += 1
             return fold_patch_proj_channels(jnp.asarray(src)).astype(tgt.dtype)
+        counts["kept_fresh"] += 1
         return tgt  # irreconcilable mismatch: keep fresh init
 
-    return walk(target, source, "")
+    out = walk(target, source, "")
+    if stats is not None:
+        stats.update(counts)
+    return out
 
 
 def load_pretrained_encoder(
@@ -163,8 +175,9 @@ def load_pretrained_encoder(
     ``src_input_hw``/``dst_input_hw`` are the (H, W) the patchify conv sees —
     for MAST/AST that is (input_tdim, input_fdim) (time is the H axis).
     """
-    from audiossl_tpu.train.checkpoint import latest_step, load_raw
+    from audiossl_tpu.train.checkpoint import latest_step, load_raw, wait_until_finished
 
+    wait_until_finished()  # an async save may still be committing its step dir
     if step is None:
         step = latest_step(ckpt_dir, "encoder")
         if step is None:
@@ -172,6 +185,15 @@ def load_pretrained_encoder(
     source = load_raw(ckpt_dir, step, kind="encoder")
     src_grid = token_grid(src_input_hw, patch, strides) if src_input_hw else None
     dst_grid = token_grid(dst_input_hw, patch, strides) if dst_input_hw else None
-    return transplant_variables(
-        target_vars, source, src_grid=src_grid, dst_grid=dst_grid, prefix_tokens=prefix_tokens
+    stats: dict = {}
+    out = transplant_variables(
+        target_vars, source, src_grid=src_grid, dst_grid=dst_grid,
+        prefix_tokens=prefix_tokens, stats=stats,
     )
+    if stats["copied"] + stats["adapted"] == 0:
+        raise ValueError(
+            f"encoder transplant from {ckpt_dir} transferred nothing "
+            f"(0 matching leaves, {stats['kept_fresh']} mismatches) — the "
+            "checkpoint does not correspond to this encoder architecture"
+        )
+    return out

@@ -107,6 +107,13 @@ def long_ast_forward(
     if t_loc % cfg.time_patch:
         raise ValueError(f"local frame count {t_loc} not divisible by time_patch {cfg.time_patch}")
     n_loc = t_loc // cfg.time_patch
+    w = jax.lax.axis_size(axis)
+    if w * n_loc != cfg.tokens_global:
+        # dynamic_slice clamps out-of-range starts, which would silently hand
+        # later shards duplicated tail positions — fail loudly instead
+        raise ValueError(
+            f"{w} shards x {n_loc} tokens/shard != tokens_global={cfg.tokens_global}"
+        )
     # [B, T, F] -> [B, n_loc, F * P] (frame-major inside the patch)
     x = jnp.swapaxes(x_local, 1, 2).reshape(b, n_loc, cfg.time_patch * f)
     x = x @ params["patch"]["kernel"] + params["patch"]["bias"]

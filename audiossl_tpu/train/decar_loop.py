@@ -38,7 +38,6 @@ from audiossl_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_batch
 from audiossl_tpu.train import checkpoint as ckptmod
 from audiossl_tpu.train.optim import larc, warmup_cosine
 from audiossl_tpu.train.step import prepare_views
-from audiossl_tpu.utils.metrics import AverageMeter
 
 log = logging.getLogger("audiossl_tpu.decar")
 
@@ -233,7 +232,7 @@ def train_decar(
     stats_file = open(os.path.join(ckpt_dir, "stats.jsonl"), "a", buffering=1)
     from audiossl_tpu.train.loop import MetricsBuffer
 
-    buf = MetricsBuffer(int(run.get("log_every", 10)), stats_file, AverageMeter(), AverageMeter())
+    buf = MetricsBuffer(int(run.get("log_every", 10)), stats_file)
     global_step = int(state.step)
     done = False
     for epoch in range(epochs):
@@ -244,6 +243,7 @@ def train_decar(
         state = state._replace(params=params, assignments=assignments, epoch_step=jnp.zeros((), jnp.int32))
         n_assigned = int(np.sum(np.asarray(assignments[0]) != -100))
         log.info("epoch %d: clustering done (%d/%d samples assigned)", epoch, n_assigned, n_total)
+        buf.reset_avg()
         t0 = time.time()
         for waves, idxs in loader.epoch(epoch):
             state, loss = step_fn(state, shard_batch(mesh, jnp.asarray(waves)), shard_batch(mesh, jnp.asarray(idxs)))
@@ -253,7 +253,7 @@ def train_decar(
                 done = True
                 break
         buf.flush()
-        log.info("epoch %d done: loss %.4f (%.1fs)", epoch, buf.last_loss, time.time() - t0)
+        log.info("epoch %d done: loss %.4f (%.1fs)", epoch, buf.avg_loss, time.time() - t0)
         ckptmod.save_checkpoint(
             ckpt_dir, global_step, state, obj.encoder_variables(state.params, state.batch_stats), config
         )

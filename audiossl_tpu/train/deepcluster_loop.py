@@ -40,7 +40,6 @@ from audiossl_tpu.objectives.clustering import Kmeans, uniform_label_epoch
 from audiossl_tpu.objectives.unfused import cross_entropy
 from audiossl_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_batch
 from audiossl_tpu.train import checkpoint as ckptmod
-from audiossl_tpu.utils.metrics import AverageMeter
 
 log = logging.getLogger("audiossl_tpu.deepcluster")
 
@@ -50,6 +49,22 @@ class DeepClusterResult(NamedTuple):
     params: Any
     batch_stats: Any
     assignments: Any  # [N] final-epoch cluster ids
+
+
+def reset_subtree_opt_state(opt_state: Any, subtree: str) -> Any:
+    """Zero every optimizer-state leaf under a params subtree key (e.g. the
+    momentum trace of a re-initialized head). The trace pytree mirrors params
+    and can be nested arbitrarily deep inside optax.chain state, so walk by
+    key path rather than poking at state tuples."""
+
+    def f(path, leaf):
+        in_sub = any(
+            getattr(p, "key", None) == subtree or getattr(p, "name", None) == subtree
+            for p in path
+        )
+        return jnp.zeros_like(leaf) if in_sub else leaf
+
+    return jax.tree_util.tree_map_with_path(f, opt_state)
 
 
 def train_deepcluster_v1(
@@ -161,22 +176,28 @@ def train_deepcluster_v1(
     stats_file = open(os.path.join(ckpt_dir, "stats.jsonl"), "a", buffering=1)
     from audiossl_tpu.train.loop import MetricsBuffer
 
-    buf = MetricsBuffer(int(run.get("log_every", 10)), stats_file, AverageMeter(), AverageMeter())
+    buf = MetricsBuffer(int(run.get("log_every", 10)), stats_file)
 
     start_epoch = 0
+    global_step = 0
     if load_checkpoint:
-        target = {"epoch": 0, "params": params, "batch_stats": batch_stats, "opt_state": opt_state}
+        target = {
+            "epoch": 0, "step": 0, "params": params,
+            "batch_stats": batch_stats, "opt_state": opt_state,
+        }
         restored = ckptmod.restore_checkpoint(load_checkpoint, target)
         # top_layer is intentionally NOT restored fresh-init-equivalent: the
         # reference deletes it from the checkpoint (main_back.py:68-72)
         params = dict(restored["params"]) | {"top_layer": params["top_layer"]}
         batch_stats, opt_state = restored["batch_stats"], restored["opt_state"]
         start_epoch = int(restored["epoch"])
-        log.info("resumed from %s at epoch %d", load_checkpoint, start_epoch)
+        # global step continues: post-resume checkpoints must not land at
+        # lower step numbers than the pre-resume ones (latest_step order)
+        global_step = int(restored["step"])
+        log.info("resumed from %s at epoch %d step %d", load_checkpoint, start_epoch, global_step)
 
     epochs = int(run.get("epochs", 1))
     rng = np.random.default_rng(seed)
-    global_step = 0
     done = False
     last_assignments = None
     for epoch in range(start_epoch, epochs):
@@ -210,14 +231,8 @@ def train_deepcluster_v1(
         params = dict(params) | {"top_layer": jax.device_put(
             top_layer_init(jax.random.key(seed + 100 + epoch)), repl
         )}
-        new_states = []
-        for s in opt_state:
-            if hasattr(s, "trace"):
-                s = s._replace(trace=dict(s.trace) | {
-                    "top_layer": jax.tree.map(jnp.zeros_like, params["top_layer"])
-                })
-            new_states.append(s)
-        opt_state = tuple(new_states)
+        opt_state = reset_subtree_opt_state(opt_state, "top_layer")
+        buf.reset_avg()
         t0 = time.time()
         for b, (waves, _) in enumerate(loader.epoch(epoch, order=order)):
             if len(waves) < batch:
@@ -235,10 +250,11 @@ def train_deepcluster_v1(
                 done = True
                 break
         buf.flush()
-        log.info("epoch %d: kmeans_loss %.4f CE %.4f (%.1fs)", epoch, km_loss, buf.last_loss, time.time() - t0)
+        log.info("epoch %d: kmeans_loss %.4f CE %.4f (%.1fs)", epoch, km_loss, buf.avg_loss, time.time() - t0)
         ckptmod.save_checkpoint(
             ckpt_dir, global_step,
-            {"epoch": epoch + 1, "params": params, "batch_stats": batch_stats, "opt_state": opt_state},
+            {"epoch": epoch + 1, "step": global_step, "params": params,
+             "batch_stats": batch_stats, "opt_state": opt_state},
             {"params": params["encoder"], "batch_stats": batch_stats["encoder"]},
             config,
         )

@@ -43,17 +43,23 @@ class MetricsBuffer:
     a non-finite loss at step k raises within flush_every steps.
     """
 
-    def __init__(self, flush_every: int, stats_file, batch_time, data_time):
+    def __init__(self, flush_every: int, stats_file, batch_time=None, data_time=None):
         self.flush_every = max(1, int(flush_every))
         self.stats_file = stats_file
         self.batch_time = batch_time
         self.data_time = data_time
-        self.pending: list[tuple[int, int, dict]] = []
+        self.pending: list[tuple[int, int, dict, float | None, float | None]] = []
         self.flushes = 0
         self.last_loss = float("nan")
+        self._loss_sum = 0.0
+        self._loss_n = 0
 
     def push(self, epoch: int, step: int, metrics: dict) -> bool:
-        self.pending.append((epoch, step, metrics))
+        # timing captured at push time, not flush time, so each stats row
+        # carries its own step's measurement
+        bt = self.batch_time.val if self.batch_time is not None else None
+        dt = self.data_time.val if self.data_time is not None else None
+        self.pending.append((epoch, step, metrics, bt, dt))
         if len(self.pending) >= self.flush_every:
             self.flush()
             return True
@@ -64,20 +70,32 @@ class MetricsBuffer:
             return
         from audiossl_tpu.utils.profiling import check_nan_loss
 
-        fetched = _fetch([m for _, _, m in self.pending])  # one host sync
+        fetched = _fetch([m for _, _, m, _, _ in self.pending])  # one host sync
         self.flushes += 1
-        for (epoch, step, _), vals in zip(self.pending, fetched):
+        for (epoch, step, _, bt, dt), vals in zip(self.pending, fetched):
             rec = {
                 "epoch": epoch,
                 "step": step,
                 **{k: float(v) for k, v in vals.items()},
-                "batch_time": self.batch_time.val,
-                "data_time": self.data_time.val,
             }
+            if bt is not None:
+                rec["batch_time"] = bt
+            if dt is not None:
+                rec["data_time"] = dt
             print(json.dumps(rec), file=self.stats_file)
             self.last_loss = float(vals["train_loss"])
+            self._loss_sum += self.last_loss
+            self._loss_n += 1
             check_nan_loss(self.last_loss, step)
         self.pending.clear()
+
+    @property
+    def avg_loss(self) -> float:
+        """Mean train_loss over everything flushed since reset_avg()."""
+        return self._loss_sum / self._loss_n if self._loss_n else float("nan")
+
+    def reset_avg(self) -> None:
+        self._loss_sum, self._loss_n = 0.0, 0
 
 
 def train_upstream(

@@ -45,8 +45,33 @@ def test_two_epoch_smoke_and_resume(wav_dir, tmp_path):
     assert all(np.isfinite(l["train_loss"]) and np.isfinite(l["kmeans_loss"]) for l in lines)
     assert ckpt.latest_step(ckpt_dir) == 4
 
-    # resume continues at epoch 2 (top layer intentionally fresh)
+    # resume continues at epoch 2 AND at the saved global step, so
+    # post-resume checkpoints never land below pre-resume ones
     result2, _ = train_deepcluster_v1(
         _cfg(str(tmp_path), epochs=3), csv, load_checkpoint=ckpt_dir
     )
-    assert int(result2.step) == 2  # one more epoch of 2 steps
+    assert int(result2.step) == 6  # 4 restored + one more epoch of 2 steps
+    assert ckpt.latest_step(ckpt_dir) == 6
+
+
+def test_reset_subtree_opt_state_reaches_nested_trace():
+    """Regression (code-review r2): the momentum trace lives nested inside
+    optax.chain state — a top-level hasattr walk misses it entirely."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from audiossl_tpu.train.deepcluster_loop import reset_subtree_opt_state
+
+    tx = optax.chain(optax.add_decayed_weights(1e-5), optax.sgd(0.05, momentum=0.9))
+    params = {"encoder": {"w": jnp.ones(3)}, "top_layer": {"kernel": jnp.ones(3)}}
+    st = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    _, st = tx.update(grads, st, params)  # momentum buffers now nonzero
+
+    st2 = reset_subtree_opt_state(st, "top_layer")
+    flat = jax.tree_util.tree_leaves_with_path(st2)
+    head = [l for p, l in flat if any(getattr(k, "key", "") == "top_layer" for k in p)]
+    enc = [l for p, l in flat if any(getattr(k, "key", "") == "encoder" for k in p)]
+    assert head and all(float(jnp.abs(l).max()) == 0.0 for l in head)
+    assert any(float(jnp.abs(l).max()) > 0.0 for l in enc)  # encoder momentum kept
