@@ -1,5 +1,8 @@
 """Augmentation pipeline: mixup bank ring buffer, Kmix selection, pipeline wiring."""
+import os
+
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -144,3 +147,49 @@ class TestPipeline:
     def test_gaussian_noise_finite(self):
         out = mix_gaussian_noise(_batch(2), jax.random.key(5))
         assert np.isfinite(np.asarray(out)).all()
+
+
+REF_KMIX_FIXTURE = "/root/reference/extras/mast_new/mast/tensor_data.pt"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_KMIX_FIXTURE), reason="reference fixture absent")
+def test_kmix_partner_in_reference_eligible_set():
+    """Run the partner selection on the reference's own checked-in Kmix
+    centroid fixture (extras/mast_new/mast/tensor_data.pt, exercised by
+    example.py:16-38) and check our draw lands in the eligible set a torch
+    transcription of Kmix.get_index computes: farthest-first centroid
+    ranking, first rank with members."""
+    import torch
+
+    centroids = torch.load(REF_KMIX_FIXTURE, map_location="cpu").float()  # [128, 128]
+    n_c, f = centroids.shape
+    t, n_bank = 6, 64
+    rng = np.random.default_rng(23)
+    bank = (2.0 * rng.standard_normal((n_bank, 1, f, t))).astype(np.float32)
+    query = (2.0 * rng.standard_normal((1, f, t))).astype(np.float32)
+
+    # torch transcription (augmentations.py:140-162 / example.py)
+    c = centroids / centroids.norm(dim=-1, keepdim=True)
+    m = torch.tensor(bank[:, 0].mean(-1))
+    m = m / m.norm(dim=-1, keepdim=True)
+    assign = torch.argmin(torch.cdist(m, c, p=2), dim=1)  # [n_bank]
+    x_avg = torch.tensor(query[0].mean(-1))
+    pc = torch.argmin(torch.cdist(x_avg[None], c, p=2), dim=1)[0]
+    order = torch.topk(torch.cdist(c, c, p=2)[pc], k=n_c, dim=0).indices  # farthest first
+    eligible: list[int] = []
+    for r in order.tolist():
+        eligible = [j for j in range(n_bank) if int(assign[j]) == r]
+        if eligible:
+            break
+    assert eligible  # sanity: some rank has members
+
+    st = mixup_bank_init(n_bank, f, t)
+    st = mixup_bank_push(st, jnp.asarray(bank))
+    for key in range(5):  # any draw must stay inside the eligible set
+        idx = int(
+            kmix_partner_index(
+                st, jnp.asarray(query), jnp.asarray(centroids.numpy()),
+                jax.random.key(key), top_k=n_bank,
+            )
+        )
+        assert idx in eligible, (idx, eligible)
