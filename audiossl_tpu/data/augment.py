@@ -286,7 +286,9 @@ class AugmentPipeline:
         # MAST op order is mask THEN normalize (dataloader.py:186-202): masked
         # bins sit at (0 - mean) / (2 std) after the shift, as in the reference.
         if self.cfg.normalization == "precomputed":
-            x = (x - self.cfg.norm_mean) / (self.cfg.norm_std_mult * self.cfg.norm_std)
+            from audiossl_tpu.ops.stats import precomputed_norm
+
+            x = precomputed_norm(x, self.cfg.norm_mean, self.cfg.norm_std_mult * self.cfg.norm_std)
         if self.cfg.mast_noise:
             x = mast_noise(x, k_mnoise)
         return x

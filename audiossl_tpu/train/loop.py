@@ -28,6 +28,7 @@ from audiossl_tpu.train import checkpoint as ckpt
 from audiossl_tpu.train.optim import build_optimizer, warmup_cosine
 from audiossl_tpu.train.step import init_train_state, make_train_step
 from audiossl_tpu.utils.metrics import AverageMeter
+from audiossl_tpu.utils.profiling import check_nan_loss
 
 log = logging.getLogger("audiossl_tpu.train")
 
@@ -68,8 +69,6 @@ class MetricsBuffer:
     def flush(self) -> None:
         if not self.pending:
             return
-        from audiossl_tpu.utils.profiling import check_nan_loss
-
         fetched = _fetch([m for _, _, m, _, _ in self.pending])  # one host sync
         self.flushes += 1
         for (epoch, step, _, bt, dt), vals in zip(self.pending, fetched):
