@@ -42,11 +42,13 @@ class FrontendSpec:
                 fb = pad_or_trim_frames(fb, self.target_length)
             return jnp.swapaxes(fb, -1, -2)  # [B, M, T]
         cfg = LogMelConfig(sample_rate=self.sample_rate, n_mels=self.n_mels)
-        if jax.default_backend() == "tpu":
-            # fused Pallas kernel: ~1.8x the XLA path on v5e (PERF.md)
-            from audiossl_tpu.frontend.pallas_stft import log_mel_fused
+        if jax.default_backend() == "tpu" and cfg.n_fft % 256 == 0:
+            # fused Cooley-Tukey Pallas kernel: fastest oracle-compliant path
+            # on v5e (8.05 ms/1024 clips vs 11.9 XLA / 13.4 dense-kernel at
+            # the full-f32 matmul precision the 1e-3 contract needs — PERF.md)
+            from audiossl_tpu.frontend.pallas_stft import log_mel_fused_ct
 
-            return log_mel_fused(waves, cfg)
+            return log_mel_fused_ct(waves, cfg)
         return log_mel(waves, cfg)
 
 

@@ -1,4 +1,4 @@
-"""AudioNTT2020Task6 encoder (BYOL-A conv net), Flax/NHWC.
+"""AudioNTT2020Task6 encoder (BYOL-A conv net), Flax.
 
 Reference spec: src/encoder/audiontt.py:37-104 — three conv blocks
 (Conv 3x3 -> BN -> ReLU -> MaxPool 2x2) with per-block time-pooled taps,
@@ -6,16 +6,29 @@ then a per-timestep MLP head (Linear(64 * n_mels/8 -> d), ReLU, Dropout 0.3,
 Linear(d, d), ReLU). Returns features per time frame [B, T/8, d]; callers
 pool over time (mean, or max+mean).
 
-TPU-native choices: NHWC layout ([B, F, T, 1] in, feature-minor), BatchNorm
-with an optional ``axis_name`` so batch statistics psum across the data mesh
-(replacing torch SyncBatchNorm / MoCo shuffle-BN — SURVEY.md §2.3).
+TPU-native choices:
+
+* Public boundary is NHWC [B, F, T, 1] (freq-major like the reference's
+  NCHW [B, 1, F, T]); **internally everything runs time-major [B, T, F, C]**
+  so the per-block taps and the final per-timestep MLP are plain reshapes
+  instead of [B, F, T, C] transposes of the (large) conv activations.
+* Block 1 (C_in=1) is HBM-bandwidth-bound, not MXU-bound: its [B, T, F, 64]
+  output (805 MB at B=1024 bf16) dominates, so the plain conv wins on v5e
+  (measured 1.60 ms vs 2.25 ms at B=1024). ``BandedConv1`` — the same conv
+  recast as one MXU-dense banded matmul (contraction 3*F=192 instead of the
+  conv's 9) — is kept as an option for parts where the MXU is the
+  constraint; equivalence is pinned by tests/test_ops.py::TestBandedConv1.
+* BatchNorm with an optional ``axis_name`` so batch statistics psum across
+  the data mesh (replacing torch SyncBatchNorm / MoCo shuffle-BN —
+  SURVEY.md §2.3); BN statistics in f32, conv/matmul compute in bf16.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -23,15 +36,63 @@ def max_pool_2x2(x: jax.Array) -> jax.Array:
     return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
 
 
+class BandedConv1(nn.Module):
+    """3x3, pad-1, C_in=1 convolution evaluated as a banded matmul.
+
+    Input [B, T, F] (single channel), output [B, T, F, C]. The kernel param
+    keeps nn.Conv's [kh(freq), kw(time), 1, C] shape so weight transplants
+    stay mechanical. For each time tap j the frequency conv is a banded
+    [F, F*C] matrix M_j[f_in, (f_out, c)] = kernel[f_in - f_out + 1, j, 0, c];
+    stacking the three time-shifted inputs gives one [B*T, 3F] @ [3F, F*C]
+    matmul — contraction 3F instead of the conv's 9, so the MXU runs dense
+    instead of >90% padding (PERF.md: this conv was ~70% of encoder time).
+    """
+
+    features: int = 64
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, t, f = x.shape
+        dt = self.dtype or x.dtype
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 1, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        # shift-eye constants: E[di, f_in, f_out] = 1 iff f_out = f_in + 1 - di
+        eye = np.stack([np.eye(f, k=1 - di, dtype=np.float32) for di in range(3)])
+        # M[j, f_in, f_out, c] = sum_di E[di, f_in, f_out] * kernel[di, j, 0, c]
+        m = jnp.einsum("dio,djc->jioc", jnp.asarray(eye), kernel[:, :, 0, :].astype(jnp.float32))
+        m = m.reshape(3 * f, f * self.features).astype(dt)
+        # three zero-padded time shifts, concatenated (j, f_in)-major
+        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0))).astype(dt)
+        xcat = jnp.concatenate([xp[:, :t], xp[:, 1 : t + 1], xp[:, 2 : t + 2]], axis=-1)
+        y = xcat @ m  # [B, T, F*C]
+        return y.reshape(b, t, f, self.features) + bias.astype(dt)
+
+
 class ConvBlock(nn.Module):
+    """Conv 3x3 -> BN -> ReLU -> MaxPool 2x2 on time-major [B, T, F, C].
+
+    ``banded=True`` swaps the conv for ``BandedConv1`` (C_in=1 only) — an
+    MXU-dense option for when block 1 is compute-bound; on v5e the plain
+    conv wins (HBM-bound, see module docstring), so it stays the default.
+    """
+
     features: int = 64
     axis_name: str | None = None
     bn_momentum: float = 0.9  # torch BatchNorm2d default momentum=0.1
+    banded: bool = False  # C_in=1 banded-matmul path (expects [B, T, F] input)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         dtype = x.dtype
-        x = nn.Conv(self.features, (3, 3), padding=1, use_bias=True, dtype=dtype)(x)
+        if self.banded:
+            x = BandedConv1(self.features, dtype=dtype)(x)
+        else:
+            x = nn.Conv(self.features, (3, 3), padding=1, use_bias=True, dtype=dtype)(x)
         # BN statistics in f32 (cast back so the MXU path stays low-precision)
         x = nn.BatchNorm(
             use_running_average=not train,
@@ -45,19 +106,23 @@ class ConvBlock(nn.Module):
 
 
 def _time_tap(x: jax.Array) -> jax.Array:
-    """[B, F', T', C] -> [B, F'*C] — flatten (freq, chan) then mean over time.
+    """[B, T', F', C] -> [B, F'*C] — flatten (freq, chan) then mean over time.
 
     Matches the reference tap (audiontt.py:76-93): permute to [B, T, F', C],
-    reshape to [B, T, F'*C], mean over T. Reduction in f32.
+    reshape to [B, T, F'*C], mean over T. Reduction in f32. Time-major
+    layout makes the permute a no-op.
     """
-    b, f, t, c = x.shape
-    x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, t, f * c)
-    return jnp.mean(x.astype(jnp.float32), axis=1)
+    b, t, f, c = x.shape
+    return jnp.mean(x.reshape(b, t, f * c).astype(jnp.float32), axis=1)
 
 
 class AudioNTT2020Task6(nn.Module):
     """Returns per-frame features [B, T/8, d]; with ``return_all_layers`` also
-    the three time-pooled taps (2048 / 1024 / 512-d for n_mels=64)."""
+    the three time-pooled taps (2048 / 1024 / 512-d for n_mels=64).
+
+    Public input layout [B, F, T, 1]; internal compute is time-major
+    (see module docstring).
+    """
 
     n_mels: int = 64
     d: int = 2048
@@ -68,15 +133,15 @@ class AudioNTT2020Task6(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
-        # x: [B, F, T, 1]
-        x = x.astype(self.compute_dtype)
+        # x: [B, F, T, 1] -> time-major [B, T, F, 1] (small: pre-conv activations)
+        x = jnp.transpose(x, (0, 2, 1, 3)).astype(self.compute_dtype)
         taps = []
-        for _ in range(3):
+        for i in range(3):
             x = ConvBlock(axis_name=self.axis_name)(x, train)
             taps.append(_time_tap(x))
 
-        b, f, t, c = x.shape  # f = n_mels/8, c = 64
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, t, f * c)  # [B, T', F'*C]
+        b, t, f, c = x.shape  # f = n_mels/8, c = 64
+        x = x.reshape(b, t, f * c)  # [B, T', F'*C] — already time-major
         x = nn.Dense(self.d, dtype=x.dtype)(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)

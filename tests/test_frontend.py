@@ -107,3 +107,15 @@ class TestLogMel:
         a = np.asarray(log_mel(waves))
         b = np.asarray(log_mel_fused(waves, frames_per_tile=256, interpret=True))
         assert np.max(np.abs(a - b)) <= 1e-5
+
+    def test_pallas_ct_kernel_matches_oracle(self):
+        """Cooley-Tukey fused kernel: radix stage + mel-row permutation must
+        hit the same 1e-3 librosa contract (and ~1e-5 vs the XLA path)."""
+        from audiossl_tpu.frontend.pallas_stft import log_mel_fused_ct
+
+        waves = np.stack([_rand_wave() for _ in range(3)])
+        a = np.asarray(log_mel(waves))
+        b = np.asarray(log_mel_fused_ct(waves, frames_per_tile=256, interpret=True))
+        assert np.max(np.abs(a - b)) <= 1e-5
+        ref = np.stack([oracle.log_mel_oracle(w) for w in waves])
+        assert np.max(np.abs(b - ref)) <= 1e-3

@@ -118,3 +118,85 @@ class TestRunningNorm:
         mean = xt.mean(dim=[0, 2, 3], keepdims=True)
         std = torch.clamp(xt.std(dim=[0, 2, 3], keepdims=True), 1.1920929e-7)
         np.testing.assert_allclose(ours, ((xt - mean) / std).numpy(), atol=1e-5)
+
+
+class TestBandedConv1:
+    """The AudioNTT block-1 banded-matmul conv (models/audiontt.py) must be
+    numerically a plain 3x3 pad-1 C_in=1 convolution, and the time-major
+    encoder restructure must be a pure relayout of the freq-major original
+    (reference layout, src/encoder/audiontt.py:37-104)."""
+
+    def test_banded_conv1_matches_conv(self):
+        from flax import linen as nn
+        from audiossl_tpu.models.audiontt import BandedConv1
+
+        x = jnp.asarray(RNG.standard_normal((3, 17, 24)).astype(np.float32))  # [B, T, F]
+        banded = BandedConv1(features=8)
+        variables = banded.init(jax.random.key(0), x)
+        ours = banded.apply(variables, x)
+
+        conv = nn.Conv(8, (3, 3), padding=1, use_bias=True)
+        # same kernel: BandedConv1 keeps nn.Conv's [freq, time, 1, C] layout,
+        # but the conv here runs on time-major input -> transpose (kh, kw)
+        k = variables["params"]["kernel"]
+        conv_vars = {"params": {"kernel": jnp.transpose(k, (1, 0, 2, 3)),
+                                "bias": variables["params"]["bias"]}}
+        ref = conv.apply(conv_vars, x[..., None])
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+    def test_time_major_encoder_matches_freq_major(self):
+        """Full AudioNTT vs an nn.Conv freq-major transcription of the
+        reference with the same (transposed) weights."""
+        from flax import linen as nn
+        from audiossl_tpu.models.audiontt import AudioNTT2020Task6
+
+        class FreqMajorNTT(nn.Module):
+            """The pre-restructure implementation: [B, F, T, C] throughout."""
+            n_mels: int = 64
+            d: int = 128
+
+            @nn.compact
+            def __call__(self, x):
+                taps = []
+                for _ in range(3):
+                    x = nn.Conv(64, (3, 3), padding=1, use_bias=True)(x)
+                    x = nn.BatchNorm(use_running_average=True, epsilon=1e-5)(x)
+                    x = nn.relu(x)
+                    x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                    b, f, t, c = x.shape
+                    taps.append(jnp.mean(jnp.transpose(x, (0, 2, 1, 3)).reshape(b, t, f * c), axis=1))
+                b, f, t, c = x.shape
+                x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, t, f * c)
+                x = nn.relu(nn.Dense(self.d)(x))
+                x = nn.relu(nn.Dense(self.d)(x))
+                return taps[0], taps[1], taps[2], x
+
+        model = AudioNTT2020Task6(n_mels=32, d=128, return_all_layers=True,
+                                  compute_dtype=jnp.float32)
+        x = jnp.asarray(RNG.standard_normal((2, 32, 48, 1)).astype(np.float32))
+        variables = model.init({"params": jax.random.key(1)}, x, False)
+
+        ref_model = FreqMajorNTT(n_mels=32, d=128)
+        p = variables["params"]
+
+        def conv_params(i):
+            blk = p[f"ConvBlock_{i}"]["Conv_0"]
+            # time-major conv kernels are (time, freq); freq-major wants (freq, time)
+            return {"kernel": jnp.transpose(blk["kernel"], (1, 0, 2, 3)), "bias": blk["bias"]}
+
+        ref_vars = {
+            "params": {
+                **{f"Conv_{i}": conv_params(i) for i in range(3)},
+                **{f"BatchNorm_{i}": p[f"ConvBlock_{i}"]["BatchNorm_0"] for i in range(3)},
+                "Dense_0": p["Dense_0"],
+                "Dense_1": p["Dense_1"],
+            },
+            "batch_stats": {
+                f"BatchNorm_{i}": variables["batch_stats"][f"ConvBlock_{i}"]["BatchNorm_0"]
+                for i in range(3)
+            },
+        }
+        ours = model.apply(variables, x, False)
+        ref = ref_model.apply(ref_vars, x)
+        for a, b in zip(ours, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
