@@ -43,9 +43,16 @@ class FrontendSpec:
             return jnp.swapaxes(fb, -1, -2)  # [B, M, T]
         cfg = LogMelConfig(sample_rate=self.sample_rate, n_mels=self.n_mels)
         if jax.default_backend() == "tpu" and cfg.n_fft % 256 == 0:
-            # fused Cooley-Tukey Pallas kernel: fastest oracle-compliant path
-            # on v5e (8.05 ms/1024 clips vs 11.9 XLA / 13.4 dense-kernel at
-            # the full-f32 matmul precision the 1e-3 contract needs — PERF.md)
+            import math
+
+            if cfg.hop % 128 == 0 or 128 // math.gcd(cfg.hop % 128, 128) <= 8:
+                # fused Cooley-Tukey Pallas kernel with in-kernel framing +
+                # bf16x3 split-precision dots: 4.2 ms/1024 clips vs 8.1 for
+                # the frame-materializing variant and 11.9 XLA (PERF.md);
+                # same 1e-3 librosa contract (1.1e-4 measured on device)
+                from audiossl_tpu.frontend.pallas_stft import log_mel_fused_ct2
+
+                return log_mel_fused_ct2(waves, cfg)
             from audiossl_tpu.frontend.pallas_stft import log_mel_fused_ct
 
             return log_mel_fused_ct(waves, cfg)

@@ -188,14 +188,39 @@ def _ct_vpu_constants(cfg: LogMelConfig):
     return f32(window[None]), f32(w8c), f32(w8s), f32(twc), f32(tws), f32(c128), f32(s128), f32(mel_perm), n2, r_max
 
 
-def _ct_kernel(frames_ref, win_ref, twc_ref, tws_ref, c_ref, s_ref, mel_ref, out_ref, *, n2: int, r_max: int, w8c, w8s):
-    ft, n = frames_ref.shape
-    # full f32 like the dense kernel (see the precision note in _kernel;
-    # Mosaic's default dot is bf16)
+def _split_bf16(a):
+    """f32 -> (hi, lo) bf16 pair with hi + lo == a to ~2^-17 relative."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(a_hi, a_lo, b_hi, b_lo):
+    """bf16x3 matmul: 3 single-pass bf16 MXU dots with f32 accumulation.
+
+    Equals a full-f32 (HIGHEST, 6-pass) dot to ~2^-17 relative — the
+    dropped lo*lo term is O(2^-18) — at half the MXU passes.
+    """
+    f32 = dict(preferred_element_type=jnp.float32)
+    return (
+        jnp.dot(a_hi, b_hi, **f32)
+        + jnp.dot(a_hi, b_lo, **f32)
+        + jnp.dot(a_lo, b_hi, **f32)
+    )
+
+
+def _ct_mel_rows(chunks, twc_ref, tws_ref, c_ref, s_ref, mel_ref, *, n2: int, r_max: int, w8c, w8s, split: bool = False):
+    """Shared CT math: windowed chunks [ft, 128] x n2 -> log-mel rows [ft, mels_pad].
+
+    ``split=False``: full-f32 dots (Precision.HIGHEST, 6 MXU passes — see
+    the precision note in _kernel; Mosaic's *default* dot is a single bf16
+    pass and misses the 1e-3 oracle contract). ``split=True``: bf16x3
+    split-precision dots (_dot3, 3 passes) — same oracle quality at half
+    the MXU time; the constant banks must then be pre-split hi/lo pairs:
+    c_ref/s_ref/mel_ref become [2, ...] stacks with hi at index 0.
+    """
+    ft = chunks[0].shape[0]
     hp = dict(preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-    xw = frames_ref[:, :] * win_ref[0, :]
-    # contiguous chunks x[128 j : 128 (j+1)] — static lane slices, no relayout
-    chunks = [xw[:, 128 * j : 128 * (j + 1)] for j in range(n2)]
     powers = []
     for r in range(r_max):
         # radix-N2 DFT over the chunk index (VPU, scalar twiddles)
@@ -211,12 +236,31 @@ def _ct_kernel(frames_ref, win_ref, twc_ref, tws_ref, c_ref, s_ref, mel_ref, out
         c_r_re = b_re * twc_ref[r, :] - b_im * tws_ref[r, :]
         c_r_im = b_re * tws_ref[r, :] + b_im * twc_ref[r, :]
         # 128-point DFT over m (MXU)
-        x_re = jnp.dot(c_r_re, c_ref[:, :], **hp) - jnp.dot(c_r_im, s_ref[:, :], **hp)
-        x_im = jnp.dot(c_r_re, s_ref[:, :], **hp) + jnp.dot(c_r_im, c_ref[:, :], **hp)
+        if split:
+            re_hi, re_lo = _split_bf16(c_r_re)
+            im_hi, im_lo = _split_bf16(c_r_im)
+            x_re = _dot3(re_hi, re_lo, c_ref[0], c_ref[1]) - _dot3(im_hi, im_lo, s_ref[0], s_ref[1])
+            x_im = _dot3(re_hi, re_lo, s_ref[0], s_ref[1]) + _dot3(im_hi, im_lo, c_ref[0], c_ref[1])
+        else:
+            x_re = jnp.dot(c_r_re, c_ref[:, :], **hp) - jnp.dot(c_r_im, s_ref[:, :], **hp)
+            x_im = jnp.dot(c_r_re, s_ref[:, :], **hp) + jnp.dot(c_r_im, c_ref[:, :], **hp)
         powers.append(x_re * x_re + x_im * x_im)
-    power = jnp.concatenate(powers, axis=-1)  # [ft, R*128], position (r, t)
-    mel = jnp.dot(power + EPS64, mel_ref[:, :], **hp)
-    out_ref[:, :] = jnp.log(mel + EPS32)
+    power = jnp.concatenate(powers, axis=-1) + EPS64  # [ft, R*128], position (r, t)
+    if split:
+        p_hi, p_lo = _split_bf16(power)
+        mel = _dot3(p_hi, p_lo, mel_ref[0], mel_ref[1])
+    else:
+        mel = jnp.dot(power, mel_ref[:, :], **hp)
+    return jnp.log(mel + EPS32)
+
+
+def _ct_kernel(frames_ref, win_ref, twc_ref, tws_ref, c_ref, s_ref, mel_ref, out_ref, *, n2: int, r_max: int, w8c, w8s):
+    xw = frames_ref[:, :] * win_ref[0, :]
+    # contiguous chunks x[128 j : 128 (j+1)] — static lane slices, no relayout
+    chunks = [xw[:, 128 * j : 128 * (j + 1)] for j in range(n2)]
+    out_ref[:, :] = _ct_mel_rows(
+        chunks, twc_ref, tws_ref, c_ref, s_ref, mel_ref, n2=n2, r_max=r_max, w8c=w8c, w8s=w8s
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg", "frames_per_tile", "interpret"))
@@ -285,6 +329,179 @@ def log_mel_fused_ct(
         jnp.asarray(mel_perm),
     )
     out = out[:rows, : cfg.n_mels].reshape(b, n_frames, cfg.n_mels)
+    out = jnp.swapaxes(out, -1, -2)
+    return out[0] if squeeze else out
+
+
+def _ct2_frame_params(cfg: LogMelConfig, n_frames: int):
+    """Static geometry for in-kernel framing (see _ct2_kernel).
+
+    Frame i, chunk j starts at flat sample  hop*i + 128*j.  With i = p*q + ph
+    (p = 128/gcd(hop mod 128, 128)) that is  128*(S*q + m0(ph, j)) + sh(ph):
+
+        S = hop*p/128,  m0(ph, j) = (hop*ph)//128 + j,  sh(ph) = (hop*ph) % 128
+
+    so every chunk is an *aligned* 128-lane row of one of p lane-rotated
+    copies of the wave laid out as [rows, 128]. Returns (p, S, nq, nblk)
+    with nq = frames per phase and nblk*S = wave rows the kernel reads.
+    """
+    import math
+
+    hop, n2 = cfg.hop, cfg.n_fft // 128
+    b = hop % 128
+    p = 1 if b == 0 else 128 // math.gcd(b, 128)
+    s_stride = hop * p // 128
+    nq = -(-n_frames // p)
+    m0_max = (hop * (p - 1)) // 128 + (n2 - 1)
+    nblk = -(-(s_stride * (nq - 1) + m0_max + 1) // s_stride)
+    return p, s_stride, nq, nblk
+
+
+def _ct2_kernel(
+    wr_ref, win_ref, twc_ref, tws_ref, c_ref, s_ref, mel_ref, out_ref,
+    *, n2: int, r_max: int, w8c, w8s, hop: int, p: int, s_stride: int,
+    nq: int, nblk: int, n_frames: int, nf_pad: int, bt: int, split: bool,
+):
+    """CT log-mel with in-kernel framing: [bt, nblk*S, 128] wave rows in,
+    [bt*nf_pad, mels_pad] log-mel rows out. The frame materialization that
+    costs 6.4x the wave in HBM traffic (n_fft/hop overlap) happens in VMEM
+    via lane rotations + aligned row slices (_ct2_frame_params)."""
+    rows = nblk * s_stride
+    rows8 = wr_ref.shape[1]  # rows rounded up to a sublane-aligned multiple of 8
+    chunk_blocks: list[list] = [[] for _ in range(n2)]
+    for w in range(bt):
+        wv = wr_ref[w]  # [rows8, 128]
+        views = []
+        for ph in range(p):
+            sh = (hop * ph) % 128
+            if sh == 0:
+                r_view = wv[:, :]
+            else:
+                # flat roll by sh: lanes shift left, carry from the next row
+                # (roll + concat at the 8-aligned sublane count — Mosaic
+                # rejects concat of offset views at unaligned row counts)
+                carry = pltpu.roll(wv[:, :], rows8 - 1, 0)[:, :sh]
+                r_view = jnp.concatenate([wv[:, sh:], carry], axis=1)
+            views.append(r_view[:rows].reshape(nblk, s_stride, 128))
+        for j in range(n2):
+            for ph in range(p):
+                m0 = (hop * ph) // 128 + j
+                blk = views[ph][m0 // s_stride : m0 // s_stride + nq, m0 % s_stride, :]
+                chunk_blocks[j].append(blk)  # [nq, 128], rows (w, ph, q)
+    chunks = [
+        jnp.concatenate(blks, axis=0) * win_ref[0, 128 * j : 128 * (j + 1)]
+        for j, blks in enumerate(chunk_blocks)
+    ]
+    mel = _ct_mel_rows(
+        chunks, twc_ref, tws_ref, c_ref, s_ref, mel_ref, n2=n2, r_max=r_max,
+        w8c=w8c, w8s=w8s, split=split,
+    )
+    # de-interleave phases: mel rows are (w, ph, q); frame i = p*q + ph
+    for w in range(bt):
+        for ph in range(p):
+            nq_ph = -(-(n_frames - ph) // p)  # frames with i % p == ph
+            blk = mel[(w * p + ph) * nq : (w * p + ph) * nq + nq_ph]
+            out_ref[w * nf_pad + ph : w * nf_pad + n_frames : p, :] = blk
+
+
+def _split_const(a: np.ndarray) -> np.ndarray:
+    """f32 [..] -> [2, ..] bf16 stack (hi, lo) for _dot3 constant banks."""
+    import ml_dtypes
+
+    hi = a.astype(ml_dtypes.bfloat16)
+    lo = (a - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return np.stack([hi, lo])
+
+
+@partial(jax.jit, static_argnames=("cfg", "batch_per_tile", "interpret", "split"))
+def log_mel_fused_ct2(
+    wave: jax.Array,
+    cfg: LogMelConfig = LogMelConfig(),
+    batch_per_tile: int = 4,
+    interpret: bool = False,
+    split: bool = True,
+) -> jax.Array:
+    """``log_mel_fused_ct`` with framing moved inside the kernel.
+
+    XLA-side framing materializes [rows, n_fft] overlapping frames — a
+    n_fft/hop = 6.4x data expansion that costs more HBM time than the DFT
+    itself (PERF.md). Here the kernel reads the padded wave once as
+    [rows, 128] and builds each chunk as an aligned row slice of a
+    lane-rotated copy (exact data movement, zero extra HBM traffic). Same
+    math and 1e-3 librosa contract as log_mel_fused_ct.
+    """
+    if cfg.n_fft % 256 != 0:
+        raise ValueError("log_mel_fused_ct2 needs n_fft % 256 == 0")
+    import math
+
+    if cfg.hop % 128 and 128 // math.gcd(cfg.hop % 128, 128) > 8:
+        raise ValueError("log_mel_fused_ct2 needs gcd(hop, 128) >= 16")
+    squeeze = wave.ndim == 1
+    if squeeze:
+        wave = wave[None]
+    wave = wave.astype(jnp.float32)
+    if cfg.center:
+        pad = cfg.n_fft // 2
+        wave = jnp.pad(wave, ((0, 0), (pad, pad)), mode="reflect")
+    b, n = wave.shape
+    n_frames = 1 + (n - cfg.n_fft) // cfg.hop
+    p, s_stride, nq, nblk = _ct2_frame_params(cfg, n_frames)
+    rows8 = _round_up(nblk * s_stride, 8)
+
+    window, w8c, w8s, twc, tws, c128, s128, mel_perm, n2, r_max = _ct_vpu_constants(cfg)
+    mels_pad = mel_perm.shape[1]
+    nf_pad = _round_up(n_frames, 8)
+    bt = min(batch_per_tile, b)
+    b_pad = _round_up(b, bt)
+    wave = jnp.pad(wave, ((0, b_pad - b), (0, rows8 * 128 - n)))
+    wrows = wave.reshape(b_pad, rows8, 128)
+
+    if split:
+        c_in, s_in, mel_in = _split_const(c128), _split_const(s128), _split_const(mel_perm)
+        bank_specs = [
+            pl.BlockSpec((2, 128, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, r_max * 128, mels_pad), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ]
+    else:
+        c_in, s_in, mel_in = c128, s128, mel_perm
+        bank_specs = [
+            pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_max * 128, mels_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    out = pl.pallas_call(
+        partial(
+            _ct2_kernel, n2=n2, r_max=r_max, w8c=w8c, w8s=w8s, hop=cfg.hop,
+            p=p, s_stride=s_stride, nq=nq, nblk=nblk, n_frames=n_frames,
+            nf_pad=nf_pad, bt=bt, split=split,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_pad * nf_pad, mels_pad), jnp.float32),
+        grid=(b_pad // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, rows8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cfg.n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_max, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_max, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            *bank_specs,
+        ],
+        out_specs=pl.BlockSpec((bt * nf_pad, mels_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=b_pad * p * nq * (r_max * 4 * 2 * 128 * 128 + 2 * r_max * 128 * mels_pad),
+            bytes_accessed=4 * (b_pad * rows8 * 128 + b_pad * nf_pad * mels_pad),
+            transcendentals=b_pad * nf_pad * mels_pad,
+        ),
+    )(
+        wrows,
+        jnp.asarray(window),
+        jnp.asarray(twc),
+        jnp.asarray(tws),
+        jnp.asarray(c_in),
+        jnp.asarray(s_in),
+        jnp.asarray(mel_in),
+    )
+    out = out.reshape(b_pad, nf_pad, mels_pad)[:b, :n_frames, : cfg.n_mels]
     out = jnp.swapaxes(out, -1, -2)
     return out[0] if squeeze else out
 

@@ -119,3 +119,28 @@ class TestLogMel:
         assert np.max(np.abs(a - b)) <= 1e-5
         ref = np.stack([oracle.log_mel_oracle(w) for w in waves])
         assert np.max(np.abs(b - ref)) <= 1e-3
+
+    def test_pallas_ct2_in_kernel_framing_matches_oracle(self):
+        """ct2 (in-kernel framing): the lane-rotation + aligned-row-slice
+        frame construction must be exact, at both dot precisions, including
+        batches that don't divide batch_per_tile."""
+        from audiossl_tpu.frontend.pallas_stft import log_mel_fused_ct2
+
+        waves = np.stack([_rand_wave() for _ in range(5)])  # 5 % bt(4) != 0
+        a = np.asarray(log_mel(waves))
+        ref = np.stack([oracle.log_mel_oracle(w) for w in waves])
+        for split in (False, True):
+            b = np.asarray(log_mel_fused_ct2(waves, interpret=True, split=split))
+            # split=False is pure data movement vs the XLA path; bf16x3 adds
+            # ~2^-17-relative dot error, still far inside the oracle contract
+            assert np.max(np.abs(a - b)) <= (1e-4 if split else 1e-5)
+            assert np.max(np.abs(b - ref)) <= 1e-3
+
+    def test_pallas_ct2_single_wave_and_odd_length(self):
+        from audiossl_tpu.frontend.pallas_stft import log_mel_fused_ct2
+
+        wave = _rand_wave(n=12345)
+        a = np.asarray(log_mel(wave))
+        b = np.asarray(log_mel_fused_ct2(wave, interpret=True))
+        assert b.shape == a.shape
+        assert np.max(np.abs(a - b)) <= 1e-4
