@@ -27,6 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from audiossl_tpu.ops.attention import fused_rel_attention, rel_expand_matrix
+
 
 def round_width(width, multiplier, min_width: int = 1, divisor: int = 1) -> int:
     if not multiplier:
@@ -64,6 +66,10 @@ class MViTConfig:
     # bf16 doubles MXU throughput; LayerNorm stats and attention softmax
     # stay f32. None keeps the exact-f32 parity path (tests/oracles).
     compute_dtype: Any = None
+    # fused rel-pos attention kernel (ops/attention.py): "auto" uses it on
+    # TPU and the XLA einsum path elsewhere; "on" forces it (interpret mode
+    # off-TPU — slow, for tests); "off" keeps the XLA path everywhere.
+    fused_attention: str = "auto"
 
     @staticmethod
     def _variant(depth: int, droppath: float, stage_blocks: tuple[int, ...], kw) -> "MViTConfig":
@@ -149,7 +155,12 @@ def _rel_dist_index(q_size: int, k_size: int) -> np.ndarray:
 
 
 class AttentionPool(nn.Module):
-    """Depthwise conv pool over the token grid (attention_pool + conv mode)."""
+    """Depthwise conv pool over the token grid (attention_pool + conv mode).
+
+    Kept as XLA's grouped conv: an unrolled shift-multiply-add rewrite was
+    measured *slower* on v5e (s0 block fwd 14.9 -> 19.0 ms) — the strided
+    slices defeat the fusion that the native lowering gets.
+    """
 
     dim_per_head: int
     kernel: tuple[int, int]
@@ -190,6 +201,7 @@ class MultiScaleAttention(nn.Module):
     rel_pos_spatial: bool
     residual_pooling: bool
     dtype: Any = None  # compute dtype (bf16 for the MXU); None = input dtype
+    fused: str = "off"  # ops/attention.py kernel: "auto" | "on" | "off"
 
     @nn.compact
     def __call__(self, x: jax.Array):
@@ -212,9 +224,7 @@ class MultiScaleAttention(nn.Module):
             k, k_hw = AttentionPool(head_dim, self.kernel_kv, self.stride_kv, dtype=self.dtype, name="pool_k")(k, hw)
             v, _ = AttentionPool(head_dim, self.kernel_kv, self.stride_kv, dtype=self.dtype, name="pool_v")(v, hw)
 
-        attn = jnp.einsum("bhqc,bhkc->bhqk", q * scale, k, precision=prec)
-        attn = attn.astype(jnp.float32)  # logits + softmax stay f32
-
+        rel = None
         if self.rel_pos_spatial:
             qh, qw = q_hw
             kh, kw = k_hw
@@ -229,14 +239,53 @@ class MultiScaleAttention(nn.Module):
             rh = rel_pos_h[jnp.asarray(_rel_dist_index(qh, kh))].astype(dt)  # [qh, kh, C]
             rw = rel_pos_w[jnp.asarray(_rel_dist_index(qw, kw))].astype(dt)  # [qw, kw, C]
             r_q = q.reshape(b, self.num_heads, qh, qw, head_dim)
-            rel_h = jnp.einsum("byhwc,hkc->byhwk", r_q, rh, precision=prec).astype(jnp.float32)
-            rel_w = jnp.einsum("byhwc,wkc->byhwk", r_q, rw, precision=prec).astype(jnp.float32)
-            attn = attn.reshape(b, self.num_heads, qh, qw, kh, kw)
-            attn = attn + rel_h[..., :, None] + rel_w[..., None, :]
-            attn = attn.reshape(b, self.num_heads, qh * qw, kh * kw)
+            rel = (
+                jnp.einsum("byhwc,hkc->byhwk", r_q, rh, precision=prec),  # [B,H,qh,qw,kh]
+                jnp.einsum("byhwc,wkc->byhwk", r_q, rw, precision=prec),  # [B,H,qh,qw,kw]
+            )
 
-        attn = jax.nn.softmax(attn, axis=-1).astype(dt)
-        out = jnp.einsum("bhqk,bhkc->bhqc", attn, v, precision=prec)
+        # The fused kernel wins when the [Lq, Lk] score matrix is large
+        # (its 4+ XLA HBM passes dominate big-grid stages: 2.2x end-to-end
+        # on a 32x256 token grid) and loses to XLA when it is small (MAST's
+        # 101x12 grid pools keys to Lk=78, where kernel tile padding costs
+        # more than the traffic saved) — so "auto" gates on score size.
+        engage = self.fused == "on" or (
+            self.fused == "auto"
+            and jax.default_backend() == "tpu"
+            and q.shape[2] * k.shape[2] >= 1 << 18
+        )
+        if engage and self.rel_pos_spatial:
+            # one Pallas program computes scores + bias broadcast + softmax
+            # + PV per q-tile with k/v VMEM-resident — the XLA path's [Lq,Lk]
+            # score matrix is never materialized. Bias stays decomposed as
+            # [Lq, kh+kw].
+            lq, lk = q.shape[2], k.shape[2]
+            bias = jnp.concatenate(
+                [rel[0].reshape(b, self.num_heads, lq, kh), rel[1].reshape(b, self.num_heads, lq, kw)],
+                axis=-1,
+            )
+            expand = jnp.asarray(rel_expand_matrix(kh, kw))
+            out = fused_rel_attention(
+                q.reshape(b * self.num_heads, lq, head_dim),
+                k.reshape(b * self.num_heads, lk, head_dim),
+                v.reshape(b * self.num_heads, lk, head_dim),
+                bias.reshape(b * self.num_heads, lq, kh + kw),
+                expand,
+                scale,
+                self.dtype is None,  # f32 parity path -> HIGHEST dots
+                jax.default_backend() != "tpu",  # interpret off-TPU (tests)
+            ).reshape(b, self.num_heads, lq, head_dim)
+        else:
+            attn = jnp.einsum("bhqc,bhkc->bhqk", q * scale, k, precision=prec)
+            attn = attn.astype(jnp.float32)  # logits + softmax stay f32
+            if rel is not None:
+                rel_h = rel[0].astype(jnp.float32)
+                rel_w = rel[1].astype(jnp.float32)
+                attn = attn.reshape(b, self.num_heads, qh, qw, kh, kw)
+                attn = attn + rel_h[..., :, None] + rel_w[..., None, :]
+                attn = attn.reshape(b, self.num_heads, qh * qw, kh * kw)
+            attn = jax.nn.softmax(attn, axis=-1).astype(dt)
+            out = jnp.einsum("bhqk,bhkc->bhqc", attn, v, precision=prec)
         if self.residual_pooling:
             out = out + q
         out = out.transpose(0, 2, 1, 3).reshape(b, -1, self.dim_out)
@@ -280,6 +329,7 @@ class MultiScaleBlock(nn.Module):
     residual_pooling: bool
     dim_mul_in_att: bool
     dtype: Any = None
+    fused: str = "off"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool):
@@ -303,6 +353,7 @@ class MultiScaleBlock(nn.Module):
             rel_pos_spatial=self.rel_pos_spatial,
             residual_pooling=self.residual_pooling,
             dtype=self.dtype,
+            fused=self.fused,
             name="attn",
         )(x_norm)
 
@@ -382,6 +433,8 @@ class MViT(nn.Module):
 
         dim_mul, head_mul, pool_q, pool_kv, stride_q, stride_kv = prepare_block_schedule(cfg)
         dpr = np.linspace(0, cfg.droppath_rate, cfg.depth)
+        if cfg.fused_attention not in ("auto", "on", "off"):
+            raise ValueError(f"fused_attention must be auto|on|off, got {cfg.fused_attention!r}")
 
         embed_dim = cfg.embed_dim
         num_heads = cfg.num_heads
@@ -409,6 +462,7 @@ class MViT(nn.Module):
                 residual_pooling=cfg.residual_pooling,
                 dim_mul_in_att=cfg.dim_mul_in_att,
                 dtype=cdt,
+                fused=cfg.fused_attention,
                 name=f"block{i}",
             )(x, train)
             hw = block_out_hw(hw, pool_q[i], stride_q[i])
