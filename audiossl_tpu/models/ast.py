@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from audiossl_tpu.ops.attention import fused_rel_attention
+
 
 @dataclasses.dataclass(frozen=True)
 class ASTConfig:
@@ -26,6 +28,11 @@ class ASTConfig:
     tstride: int = 10
     patch: int = 16
     dropout: float = 0.0
+    # fused attention kernel (ops/attention.py, no-bias mode): AST's plain
+    # ViT attention materializes a [L, L] score matrix (L ~ 1.2k tokens at
+    # the 128x1024 fbank geometry) that the kernel keeps in VMEM.
+    # "auto" = on-TPU when L*L is large; "on" forces (interpret off-TPU).
+    fused_attention: str = "auto"
 
     @staticmethod
     def tiny() -> "ASTConfig":
@@ -40,17 +47,64 @@ class ASTConfig:
         return ASTConfig()
 
 
+def _fused_attention_fn(interpret: bool):
+    """flax MultiHeadDotProductAttention attention_fn -> fused kernel.
+
+    Runs single-pass MXU dots with f32 accumulation (kernel f32=False):
+    the flax default path it replaces uses JAX's DEFAULT matmul precision,
+    which is also a single bf16 pass on TPU for f32 operands — HIGHEST
+    here was measured 1.5x slower end-to-end with no baseline to match.
+    Softmax stays f32 in the kernel either way.
+    """
+
+    def fn(query, key, value, **kwargs):
+        # [B, L, H, Dh] each; flax scales q inside its default fn, so the
+        # adapter applies the same 1/sqrt(Dh) via the kernel's scale arg.
+        # On hardware, operands are cast bf16 up front — the MXU truncates
+        # them to bf16 either way under DEFAULT precision, and the cast
+        # halves the kernel's VMEM/HBM bytes (f32 accumulation unchanged).
+        b, l, h, dh = query.shape
+        dt = query.dtype if interpret else jnp.bfloat16
+        fold = lambda t: t.transpose(0, 2, 1, 3).reshape(b * h, l, dh).astype(dt)
+        out = fused_rel_attention(
+            fold(query), fold(key), fold(value), None, None, dh**-0.5, False, interpret
+        )
+        return out.astype(query.dtype).reshape(b, h, l, dh).transpose(0, 2, 1, 3)
+
+    return fn
+
+
 class ViTBlock(nn.Module):
     dim: int
     heads: int
     mlp_ratio: float
     dropout: float
+    fused: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        l = x.shape[1]
+        # same size gate as MViT (models/mvit.py), plus train-only: the
+        # kernel's win is the backward pass (no [L, L] residuals/score
+        # rematerialization — 1.36x on AST-base fwd+bwd) while XLA's fused
+        # forward is on par, so inference keeps the XLA path. Attention
+        # dropout would need in-kernel masking, so it also keeps XLA.
+        engage = self.fused == "on" or (
+            self.fused == "auto"
+            and jax.default_backend() == "tpu"
+            and l * l >= 1 << 18
+            and train
+            and self.dropout == 0.0
+        )
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)(x)
         h = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, dropout_rate=self.dropout, deterministic=not train, dtype=h.dtype
+            num_heads=self.heads,
+            dropout_rate=self.dropout,
+            deterministic=not train,
+            dtype=h.dtype,
+            attention_fn=_fused_attention_fn(interpret=jax.default_backend() != "tpu")
+            if engage
+            else nn.dot_product_attention,
         )(h, h)
         x = x + h
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)(x)
@@ -90,7 +144,12 @@ class ASTEncoder(nn.Module):
         )
         x = x + pos
 
+        if cfg.fused_attention not in ("auto", "on", "off"):
+            raise ValueError(f"fused_attention must be auto|on|off, got {cfg.fused_attention!r}")
         for i in range(cfg.depth):
-            x = ViTBlock(cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio, cfg.dropout, name=f"block{i}")(x, train)
+            x = ViTBlock(
+                cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio, cfg.dropout,
+                fused=cfg.fused_attention, name=f"block{i}",
+            )(x, train)
         x = nn.LayerNorm(epsilon=1e-6, name="norm", dtype=jnp.float32)(x)
         return (x[:, 0] + x[:, 1]) / 2.0

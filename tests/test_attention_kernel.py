@@ -66,6 +66,56 @@ class TestFusedRelAttention:
         assert got.dtype == jnp.bfloat16
         assert np.max(np.abs(np.asarray(got, np.float32) - np.asarray(ref))) < 5e-2
 
+    def test_no_bias_mode_forward_and_grads(self):
+        """bias=None (plain ViT attention, the AST path), multi-tile."""
+        q, k, v, _, _ = make_case(lq=600, lk=130, d=64)
+        scale = 64**-0.5
+
+        def ref_plain(q, k, v):
+            s = jnp.einsum("bqc,bkc->bqk", q * scale, k, precision=jax.lax.Precision.HIGHEST)
+            return jnp.einsum(
+                "bqk,bkc->bqc", jax.nn.softmax(s, -1), v, precision=jax.lax.Precision.HIGHEST
+            )
+
+        ref = ref_plain(q, k, v)
+        got = fused_rel_attention(q, k, v, None, None, scale, True, True)
+        assert np.max(np.abs(np.asarray(got) - np.asarray(ref))) < 1e-5
+
+        cot = jnp.asarray(np.random.default_rng(4).standard_normal(ref.shape), jnp.float32)
+        g_ref = jax.grad(lambda *a: jnp.sum(ref_plain(*a) * cot), argnums=(0, 1, 2))(q, k, v)
+        g_ker = jax.grad(
+            lambda *a: jnp.sum(fused_rel_attention(*a, None, None, scale, True, True) * cot),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b, name in zip(g_ref, g_ker, "qkv"):
+            err = np.max(np.abs(np.asarray(a) - np.asarray(b)))
+            assert err < 2e-4, f"d{name}: {err}"
+
+    def test_ast_fused_matches_default(self):
+        """ASTEncoder with the fused attention_fn == flax default (f32)."""
+        import dataclasses
+
+        from audiossl_tpu.models.ast import ASTConfig, ASTEncoder
+
+        cfg = ASTConfig.tiny()
+        mk = lambda mode: ASTEncoder(
+            input_fdim=48, input_tdim=68, cfg=dataclasses.replace(cfg, fused_attention=mode)
+        )
+        x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 48, 68, 1)), jnp.float32)
+        variables = mk("off").init(jax.random.key(0), x, False)
+        ref = mk("off").apply(variables, x, False)
+        got = mk("on").apply(variables, x, False)
+        assert np.max(np.abs(np.asarray(got) - np.asarray(ref))) < 1e-4
+
+        g_ref = jax.grad(lambda p: jnp.sum(mk("off").apply(p, x, False) ** 2))(variables)
+        g_got = jax.grad(lambda p: jnp.sum(mk("on").apply(p, x, False) ** 2))(variables)
+        from jax.flatten_util import ravel_pytree
+
+        fr, _ = ravel_pytree(g_ref)
+        fg, _ = ravel_pytree(g_got)
+        rel = float(jnp.max(jnp.abs(fr - fg))) / (float(jnp.max(jnp.abs(fr))) + 1e-8)
+        assert rel < 1e-4, rel
+
     def test_expand_matrix_semantics(self):
         kh, kw = 3, 5
         e = rel_expand_matrix(kh, kw)
