@@ -86,9 +86,9 @@ class ViTBlock(nn.Module):
         l = x.shape[1]
         # same size gate as MViT (models/mvit.py), plus train-only: the
         # kernel's win is the backward pass (no [L, L] residuals/score
-        # rematerialization — 1.36x on AST-base fwd+bwd) while XLA's fused
-        # forward is on par, so inference keeps the XLA path. Attention
-        # dropout would need in-kernel masking, so it also keeps XLA.
+        # rematerialization — 1.64x on AST-base fwd+bwd at B=16, PERF.md)
+        # while XLA's fused forward is on par, so inference keeps the XLA
+        # path. Attention dropout would need in-kernel masking → also XLA.
         engage = self.fused == "on" or (
             self.fused == "auto"
             and jax.default_backend() == "tpu"

@@ -77,6 +77,7 @@ class MASTWithHead(nn.Module):
     input_tdim: int = 1024
     model_size: str = "base"
     remat: bool = False  # per-block activation checkpointing for big batches
+    compute_dtype: jnp.dtype | None = jnp.bfloat16  # None = exact f32 trunk
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -85,6 +86,7 @@ class MASTWithHead(nn.Module):
             input_tdim=self.input_tdim,
             model_size=self.model_size,
             remat=self.remat,
+            compute_dtype=self.compute_dtype,
             name="mast",
         )(x, train)
         return nn.Dense(self.output_dim, name="mlp_fc1", dtype=z.dtype)(z)

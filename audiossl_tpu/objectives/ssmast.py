@@ -49,6 +49,10 @@ class SSMast:
         # MAST uses LayerNorm (no cross-batch stats), so shuffle-BN is a
         # no-op numerically; the flag exists for interface uniformity
         self.shuffle_bn = bool(pre.get("shuffle_bn", False))
+        # encode concat([v1, v2]) / concat([v2, v1]) in one query / key pass
+        # (exact for the LayerNorm-only MAST; see loss); False restores the
+        # reference's four sequential passes
+        self.batched_views = bool(pre.get("batched_views", True))
         inp = pre["input"]
         self.encoder = MASTWithHead(
             output_dim=self.emb_dim,
@@ -56,6 +60,8 @@ class SSMast:
             input_tdim=int(inp.get("target_length", 1024)),
             model_size=str(pre.get("model_size", "base")),
             remat=bool(pre.get("remat", False)),  # MODEL.ACT_CHECKPOINT
+            # "bf16" (default) | "f32" exact trunk
+            compute_dtype=None if pre.get("compute_dtype") == "f32" else jnp.bfloat16,
         )
 
     def init(self, key: jax.Array, sample_views):
@@ -89,6 +95,32 @@ class SSMast:
         )
 
         queue, ptr = ssl_state.queue, ssl_state.queue_ptr
+        if self.batched_views and not (self.shuffle_bn and axis_name is not None):
+            # Batched-views fast path: MAST is LayerNorm-only (no cross-
+            # sample stats), so encoding concat([v1, v2]) in ONE query pass
+            # and concat([v2, v1]) in ONE key pass is numerically identical
+            # to the reference's four sequential passes
+            # (upstream_expert.py:316-340) while halving pass count — the
+            # MViT pooled pyramid is small-matmul-bound at v5e batch sizes,
+            # so per-pass batch is what fills the MXU (PERF.md). The queue
+            # stays sequential: the second InfoNCE's negatives include the
+            # first view-order's keys, exactly as in the loop below.
+            kq, kk = keys[0], keys[1]
+            b = v1.shape[0]
+            q12 = l2_normalize(
+                self._encode(params["encoder"], jnp.concatenate([v1, v2]), kq, train), axis=1
+            )
+            k21 = jax.lax.stop_gradient(
+                l2_normalize(self._encode(params_k, jnp.concatenate([v2, v1]), kk, train), axis=1)
+            )
+            total = info_nce(q12[:b], k21[:b], queue, self.temperature)
+            queue, ptr = queue_update(queue, ptr, k21[:b], axis_name)
+            total = total + info_nce(q12[b:], k21[b:], queue, self.temperature)
+            queue, ptr = queue_update(queue, ptr, k21[b:], axis_name)
+            new_ssl = MocoV3State(params_k=params_k, queue=queue, queue_ptr=ptr, step=ssl_state.step + 1)
+            metrics = {"train_loss": total, "moco_momentum": m}
+            return total, LossAux(batch_stats=batch_stats, ssl_state=new_ssl, metrics=metrics)
+
         total = 0.0
         for i, (vq, vk) in enumerate(((v1, v2), (v2, v1))):
             q = l2_normalize(self._encode(params["encoder"], vq, keys[2 * i], train), axis=1)

@@ -157,6 +157,49 @@ def test_ssmast_train_step():
     assert int(state.ssl_state.step) == 1
 
 
+def test_ssmast_batched_views_matches_sequential():
+    """The batched-views fast path (one concat query pass + one concat key
+    pass, objectives/ssmast.py) must reproduce the reference's sequential
+    four-pass loop exactly — MAST is LayerNorm-only, so per-sample math is
+    independent of batch composition. train=False keeps droppath out of
+    play (it draws different RNG streams in the two pass structures).
+    Asserted tight at f32 (batch composition only changes summation
+    association, which f32 rows don't see at 1e-5); the default bf16
+    trunk is pinned loosely — its lowering IS batch-shape-dependent."""
+    from audiossl_tpu.objectives import get_objective
+
+    cfg = {
+        "run": {"batch_size": 4},
+        "pretrain": {
+            "model_size": "tiny",
+            "contrastive_dim": 16,
+            "num_negatives": 32,
+            "softmax_temperature": 0.07,
+            "steps_per_epoch": 2,
+            "input": {"n_mels": 64, "target_length": 96},
+        },
+    }
+    v1 = jnp.asarray(RNG.standard_normal((4, 64, 96, 1)), jnp.float32)
+    v2 = jnp.asarray(RNG.standard_normal((4, 64, 96, 1)), jnp.float32)
+    for dtype, atol_loss, atol_queue in (("f32", 1e-5, 1e-5), ("bf16", 0.2, 0.1)):
+        results = {}
+        for batched in (True, False):
+            cfg["pretrain"]["batched_views"] = batched
+            cfg["pretrain"]["compute_dtype"] = dtype
+            obj = get_objective("ssmast")(cfg, axis_name=None)
+            params, bs, ssl = obj.init(jax.random.key(0), (v1, v2))
+            total, aux = obj.loss(params, bs, ssl, (v1, v2), jax.random.key(1), train=False, axis_name=None)
+            results[batched] = (
+                float(total),
+                np.asarray(aux.ssl_state.queue),
+                int(aux.ssl_state.queue_ptr),
+            )
+        (l_fast, q_fast, p_fast), (l_seq, q_seq, p_seq) = results[True], results[False]
+        np.testing.assert_allclose(l_fast, l_seq, rtol=0, atol=atol_loss, err_msg=dtype)
+        assert p_fast == p_seq
+        np.testing.assert_allclose(q_fast, q_seq, rtol=0, atol=atol_queue, err_msg=dtype)
+
+
 class TestMASTInputPipeline:
     """Parity for the MAST input-normalization + waveform-mixup wiring
     (VERDICT r1 Missing #2/#3): torch transcriptions of
