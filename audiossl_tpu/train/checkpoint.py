@@ -67,6 +67,18 @@ def save_checkpoint(
         wait_until_finished()
 
 
+def save_encoder_only(ckpt_dir: str, step: int, encoder_vars: Any, block: bool = True) -> None:
+    """Write just an encoder-kind checkpoint (no trainer state) — used by
+    torch-checkpoint import (models/torch_import.py) so converted reference
+    weights enter the same downstream/probe path as our own exports."""
+    _async_ckptr("encoder").save(
+        os.path.join(_path(ckpt_dir), "encoder", str(step)),
+        args=ocp.args.StandardSave(encoder_vars), force=True,
+    )
+    if block:
+        wait_until_finished()
+
+
 def latest_step(ckpt_dir: str, kind: str = "state") -> int | None:
     d = os.path.join(_path(ckpt_dir), kind)
     if not os.path.isdir(d):
