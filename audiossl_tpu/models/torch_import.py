@@ -176,7 +176,96 @@ def ast_from_torch(
     return {"params": params}
 
 
-ARCHS = {"audiontt": "audiontt_from_torch", "ast": "ast_from_torch"}
+def _flatten_stage_blocks(sd: dict[str, Any]) -> dict[str, Any]:
+    """timm's MultiScaleVit nests blocks as stages.{s}.blocks.{b}.* (the
+    reference iterates `self.v.stages`, ast_work.py:224-227); the vendored
+    spec keeps a flat blocks.{i}.*. Normalize to the flat form, numbering
+    across stages in order."""
+    import re
+
+    pat = re.compile(r"^stages\.(\d+)\.blocks\.(\d+)\.(.+)$")
+    hits = sorted({(int(m.group(1)), int(m.group(2))) for k in sd if (m := pat.match(k))})
+    if not hits:
+        return sd
+    index = {sb: i for i, sb in enumerate(hits)}
+    out = {}
+    for k, v in sd.items():
+        m = pat.match(k)
+        out[f"blocks.{index[(int(m.group(1)), int(m.group(2)))]}.{m.group(3)}" if m else k] = v
+    return out
+
+
+def _ln(sd: dict[str, Any], key: str) -> dict[str, Any]:
+    return {"scale": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
+
+
+def _dense(sd: dict[str, Any], key: str) -> dict[str, Any]:
+    out = {"kernel": _linear(sd[f"{key}.weight"])}
+    if f"{key}.bias" in sd:
+        out["bias"] = sd[f"{key}.bias"]
+    return out
+
+
+def mast_from_torch(state_dict: Mapping[str, Any]) -> dict[str, Any]:
+    """Reference SS-MAST / MViTv2 torch weights -> variables for
+    ``models.mast.MASTEncoder`` (the trunk the probe consumes).
+
+    The torch model patchifies [B, 1, freq, time] (ast_work.py:191), so its
+    grid H axis is frequency; ours is time. For MViT's symmetric kernels and
+    strides the transposed-grid model is exactly equivalent once spatial
+    conv axes transpose and ``rel_pos_h``/``rel_pos_w`` swap — token order
+    (freq-major vs time-major) is internal and the output is a token mean.
+    Handles both timm stage nesting (stages.{s}.blocks.{b}, what
+    `timm.create_model('mvitv2_base')` checkpoints carry) and the vendored
+    flat blocks.{i} naming (mvit/models/attention.py:325-396); the
+    dim-change projection accepts timm's shortcut_proj_* aliases. The final
+    `norm` is skipped like the reference MAST forward (ast_work.py:229).
+    """
+    sd = _flatten_stage_blocks(
+        {k: _np(v) for k, v in strip_prefix(state_dict, "patch_embed.proj.weight").items()}
+    )
+    mvit: dict[str, Any] = {
+        "patch_embed": {
+            "kernel": _conv_hwio_time_major(sd["patch_embed.proj.weight"]),
+            "bias": sd["patch_embed.proj.bias"],
+        }
+    }
+    i = 0
+    while f"blocks.{i}.norm1.weight" in sd:
+        b = f"blocks.{i}"
+        attn: dict[str, Any] = {
+            "qkv": _dense(sd, f"{b}.attn.qkv"),
+            "proj": _dense(sd, f"{b}.attn.proj"),
+        }
+        for pool in ("q", "k", "v"):
+            w = sd.get(f"{b}.attn.pool_{pool}.weight")
+            if w is not None:  # depthwise [C, 1, kh, kw] -> [kh, kw, 1, C], axes swapped
+                attn[f"pool_{pool}"] = {
+                    "Conv_0": {"kernel": _conv_hwio_time_major(w)},
+                    "LayerNorm_0": _ln(sd, f"{b}.attn.norm_{pool}"),
+                }
+        # torch grid H = freq, ours = time -> the per-axis tables swap names
+        if f"{b}.attn.rel_pos_h" in sd:
+            attn["rel_pos_h"] = sd[f"{b}.attn.rel_pos_w"]
+            attn["rel_pos_w"] = sd[f"{b}.attn.rel_pos_h"]
+        blk: dict[str, Any] = {
+            "norm1": _ln(sd, f"{b}.norm1"),
+            "attn": attn,
+            "norm2": _ln(sd, f"{b}.norm2"),
+            "mlp": {"Dense_0": _dense(sd, f"{b}.mlp.fc1"), "Dense_1": _dense(sd, f"{b}.mlp.fc2")},
+        }
+        for alias in ("proj", "shortcut_proj_attn", "shortcut_proj_mlp"):
+            if f"{b}.{alias}.weight" in sd:
+                blk["proj"] = _dense(sd, f"{b}.{alias}")
+                break
+        mvit[f"block{i}"] = blk
+        i += 1
+    if i == 0:
+        raise KeyError("no MViT blocks found (expected blocks.0.norm1.weight or stages.*)")
+    return {"params": {"mvit": mvit}}
+
+
+ARCHS = {"audiontt": "audiontt_from_torch", "ast": "ast_from_torch", "mast": "mast_from_torch"}
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -200,6 +289,8 @@ def main(argv: list[str] | None = None) -> None:
     sd = load_torch_checkpoint(args.checkpoint)
     if args.arch == "audiontt":
         variables = audiontt_from_torch(sd)
+    elif args.arch == "mast":
+        variables = mast_from_torch(sd)
     else:
         grid = (args.src_fdim, args.src_tdim) if args.src_fdim and args.src_tdim else None
         variables = ast_from_torch(sd, num_heads=args.num_heads, src_grid_ft=grid)
