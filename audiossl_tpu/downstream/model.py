@@ -23,6 +23,7 @@ class DownstreamModel(nn.Module):
     axis_name: str | None = None
     encoder_type: str = "AudioNTT2020Task6"  # | Efficient_Net | MAST | AST
     input_tdim: int = 96  # frame count, needed by the transformer encoders
+    model_size: str = "base"  # transformer variant (tiny | small | base)
 
     @nn.compact
     def __call__(self, v: jax.Array, train: bool = False) -> jax.Array:
@@ -44,12 +45,16 @@ class DownstreamModel(nn.Module):
             from audiossl_tpu.models.mast import MASTEncoder
 
             h = MASTEncoder(
-                input_fdim=self.n_mels, input_tdim=self.input_tdim, name="encoder"
+                input_fdim=self.n_mels, input_tdim=self.input_tdim,
+                model_size=self.model_size, name="encoder",
             )(v, train)
         elif self.encoder_type == "AST":
-            from audiossl_tpu.models.ast import ASTEncoder
+            from audiossl_tpu.models.ast import ASTConfig, ASTEncoder
 
-            h = ASTEncoder(input_fdim=self.n_mels, input_tdim=self.input_tdim, name="encoder")(v, train)
+            h = ASTEncoder(
+                input_fdim=self.n_mels, input_tdim=self.input_tdim,
+                cfg=getattr(ASTConfig, self.model_size)(), name="encoder",
+            )(v, train)
         else:
             raise NotImplementedError(f"unknown downstream encoder {self.encoder_type!r}")
         return nn.Dense(self.num_classes, name="final", dtype=h.dtype)(h)

@@ -395,3 +395,60 @@ def test_ssmast_remat_step():
     waves = shard_batch(mesh, jnp.asarray(0.3 * RNG.standard_normal((B, L)).astype(np.float32)))
     state, metrics = step(state, waves)
     assert np.isfinite(float(metrics["train_loss"]))
+
+
+def test_torch_import_to_downstream_probe(tmp_path):
+    """Switching-user journey, end to end: a reference-style torch MAST
+    checkpoint (Lightning nesting, freq-major grid, trained at tdim=76) ->
+    torch_import CLI -> downstream linear probe at 1 s clips
+    (encoder_type MAST, model_size tiny) — the strict load fails on the
+    rel-pos shapes and the probe's cross-shape transplant path
+    (probe.py fallback; src/encoder/mast.py:100-173 semantics) must kick in
+    and actually transfer the weights."""
+    import os
+
+    import torch
+
+    from audiossl_tpu.config import load_config
+    from audiossl_tpu.data.make_test_wavs import make
+    from audiossl_tpu.downstream.probe import run_downstream
+    from audiossl_tpu.models.mast import mast_config
+    from audiossl_tpu.models import torch_import
+    from audiossl_tpu.models.torch_import import _conv_hwio_time_major
+    from tests.test_torch_import import _torch_mvit
+
+    wav_dir = make(str(tmp_path / "wavs"), n=16)
+
+    # reference checkpoint geometry: fbank (F=64, T=76) -> freq-major patch
+    # grid (5, 7); the probe below runs ~1 s clips (a different time grid),
+    # so rel_pos tables need the resize surgery on import.
+    src_f, src_t = 64, 76
+    cfg = mast_config("tiny", compute_dtype=None)
+    tm = _torch_mvit(cfg, grid_ft=((src_f - 16) // 10 + 1, (src_t - 16) // 10 + 1))
+    sd = {"encoder_q.ast_model.v." + k: v for k, v in tm.state_dict().items()}
+    pth = str(tmp_path / "ref_mast.ckpt")
+    torch.save({"state_dict": sd}, pth)
+
+    imported = str(tmp_path / "imported")
+    torch_import.main(["--checkpoint", pth, "--arch", "mast", "--out", imported])
+
+    dcfg = load_config(None, "downstream")
+    dcfg["run"].update(batch_size=8, epochs=1, lr=0.01, num_dataloader_workers=2)
+    dcfg["downstream"]["base_encoder"].update(type="MAST", model_size="tiny")
+    result = run_downstream(
+        dcfg,
+        {
+            "task": "probe_mast",
+            "train_csv": os.path.join(wav_dir, "downstream_train.csv"),
+            "test_csv": os.path.join(wav_dir, "downstream_test.csv"),
+            "checkpoint": imported,
+            "freeze": True,
+            "exp_dir": str(tmp_path / "exp"),
+        },
+    )
+    assert 0.0 <= result["best_test_acc"] <= 1.0
+    # the frozen encoder must carry the imported torch weights, not a random
+    # init — guards a silently-failed transplant
+    got = np.asarray(result["params"]["encoder"]["mvit"]["patch_embed"]["kernel"])
+    want = _conv_hwio_time_major(tm.state_dict()["patch_embed.proj.weight"].numpy())
+    np.testing.assert_allclose(got, want, atol=0)
