@@ -4,13 +4,16 @@ TPU-native replacement for the reference's faiss pipeline
 (extras/delores-s/clustering.py): PCA-whitening via XLA eigh instead of
 faiss.PCAMatrix (eigen_power=-0.5, :31-40), Lloyd k-means on-device instead
 of faiss GpuIndexFlatL2 (:44-88), and Power Iteration Clustering (:117-280)
-on the host (it is an offline analysis path in the reference too).
+either on the host (scipy sparse, like the reference) or fully on-device
+(`run_pic_device`: gather/scatter matvec + segment-max + pointer doubling).
 
 The `Kmeans` / `PIC` classes keep the reference's `cluster(data)` +
 `images_lists` API so DeepCluster-v1-style training (UnifLabelSampler) and
 the pseudo-label export (store_clusters.py → UnFuSeD CSV) port over.
 """
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -157,20 +160,104 @@ def run_pic(I: np.ndarray, D: np.ndarray, sigma: float = 0.2, alpha: float = 0.0
     return assign
 
 
-class PIC:
-    """Reference-API PIC (clustering.py:232-280)."""
+def _pic_device_impl(I_nb: jnp.ndarray, data: jnp.ndarray, alpha: float, n_iters: int) -> jnp.ndarray:
+    """Traced body of :func:`run_pic_device` (see there for the math)."""
+    n, k = I_nb.shape
+    flat_dst = I_nb.reshape(-1)
 
-    def __init__(self, sigma: float = 0.2, nnn: int = 5, alpha: float = 0.001, distribute_singletons: bool = True):
+    # --- power iteration: v <- normalize(alpha * w v + (1-alpha)/n) --------
+    # w = a + a^T is symmetric, so (w v)[i] splits into a gather term over
+    # i's own neighbor rows and a scatter-add term from rows that list i.
+    def body(v, _):
+        fwd = jnp.sum(data * v[I_nb], axis=1)
+        rev = jnp.zeros((n,), v.dtype).at[flat_dst].add((data * v[:, None]).reshape(-1))
+        vnext = alpha * (fwd + rev) + (1.0 - alpha) / n
+        return vnext / jnp.sum(vnext), None
+
+    v0 = jnp.full((n,), 1.0 / n, jnp.float32)
+    v, _ = jax.lax.scan(body, v0, None, length=n_iters)
+
+    # --- find_maxima_cluster: pointers[i] = argmax_j w_ij (v_j - v_i) ------
+    # Merged symmetric edge weight per directed knn edge (i -> j = I_nb[i,l]):
+    # w_ij = a_ij + a_ji, where a_ji exists iff i appears in j's neighbor row.
+    rev_w = jnp.sum(data[I_nb] * (I_nb[I_nb] == jnp.arange(n)[:, None, None]), axis=2)
+    w_edge = data + rev_w  # [n, k]
+
+    # Candidate targets for each node: its own neighbors (block A) plus every
+    # node that lists it as a neighbor (block B) — exactly the nonzeros of
+    # row i of w. Scores w_ij (v_j - v_i); host code keeps pointer i unless
+    # some score is strictly positive, and ties resolve to the smallest
+    # column index (csr column order + strict '>').
+    src_a = jnp.repeat(jnp.arange(n), k)
+    dst_a = flat_dst
+    owners = jnp.concatenate([src_a, dst_a])
+    cands = jnp.concatenate([dst_a, src_a])
+    w_all = jnp.concatenate([w_edge.reshape(-1)] * 2)
+    scores = w_all * (v[cands] - v[owners])
+
+    best = jnp.zeros((n,), scores.dtype).at[owners].max(scores)
+    is_max = (scores == best[owners]) & (best[owners] > 0)
+    ptr = jnp.full((n,), n, jnp.int32).at[owners].min(jnp.where(is_max, cands, n).astype(jnp.int32))
+    pointers = jnp.where(best > 0, ptr, jnp.arange(n, dtype=jnp.int32))
+
+    # --- follow pointer chains by pointer doubling (log-depth) -------------
+    def double(p, _):
+        return p[p], None
+
+    n_doublings = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    roots, _ = jax.lax.scan(double, pointers, None, length=n_doublings)
+    is_root = pointers == jnp.arange(n, dtype=jnp.int32)
+    cluster_ids = jnp.cumsum(is_root.astype(jnp.int32)) - 1  # ids in node order
+    return cluster_ids[roots]
+
+
+def run_pic_device(
+    I: np.ndarray, D: np.ndarray, sigma: float = 0.2, alpha: float = 0.001, n_iters: int = 200
+) -> np.ndarray:
+    """On-device Power Iteration Clustering — same result as :func:`run_pic`.
+
+    TPU-native formulation of the reference's host/scipy PIC
+    (extras/delores-s/clustering.py:167-231): the sparse ``w^T v`` matvec
+    becomes a dense [n, k] gather + a scatter-add (duplicate edges sum, like
+    csr arithmetic), the per-row local-maxima search becomes a segment-max /
+    segment-min pair over the directed edge list, and the sequential pointer
+    chase becomes log2(n) rounds of pointer doubling. One jitted program,
+    no host round-trips.
+    """
+    I_nb = jnp.asarray(I[:, 1:], jnp.int32)
+    data = jnp.exp(jnp.asarray(-D[:, 1:], jnp.float32) / sigma**2)
+    impl = jax.jit(partial(_pic_device_impl, alpha=alpha, n_iters=n_iters))
+    return np.asarray(impl(I_nb, data))
+
+
+class PIC:
+    """Reference-API PIC (clustering.py:232-280).
+
+    ``device=True`` runs the power iteration, maxima search, and pointer
+    chase on-device (:func:`run_pic_device`); the default keeps the
+    reference's host path (it is an offline analysis tool there too).
+    """
+
+    def __init__(
+        self,
+        sigma: float = 0.2,
+        nnn: int = 5,
+        alpha: float = 0.001,
+        distribute_singletons: bool = True,
+        device: bool = False,
+    ):
         self.sigma = sigma
         self.nnn = nnn
         self.alpha = alpha
         self.distribute_singletons = distribute_singletons
+        self.device = device
         self.images_lists: list[list[int]] = []
 
     def cluster(self, data: np.ndarray, verbose: bool = False) -> int:
         xb = pca_whiten(data, min(128, data.shape[1]))
         I, D = knn_graph(xb, self.nnn)
-        clust = run_pic(I, D, self.sigma, self.alpha)
+        pic_fn = run_pic_device if self.device else run_pic
+        clust = pic_fn(I, D, self.sigma, self.alpha)
         images_lists: dict[int, list[int]] = {}
         for idx, c in enumerate(clust):
             images_lists.setdefault(int(c), []).append(idx)

@@ -66,6 +66,27 @@ class TestPIC:
         assert I.shape == (30, 6) and D.shape == (30, 6)
         np.testing.assert_array_equal(I[:, 0], np.arange(30))  # self first
 
+    def test_device_pic_matches_host(self):
+        """run_pic_device (gather/scatter matvec + pointer doubling) must
+        produce the same partition as the host scipy path, including on
+        unstructured data where the pointer forest is nontrivial."""
+        from audiossl_tpu.objectives.clustering import run_pic, run_pic_device
+
+        for x in (_blobs(n_per=20)[0], RNG.standard_normal((70, 12)).astype(np.float32)):
+            I, D = knn_graph(pca_whiten(x, 8), 5)
+            host = run_pic(I, D)
+            dev = run_pic_device(I, D)
+            # identical partitions => identical labels (both id clusters in
+            # first-root-node order)
+            np.testing.assert_array_equal(host, dev)
+
+    def test_device_pic_reference_api(self):
+        x, _ = _blobs(n_per=15)
+        host, dev = PIC(nnn=5), PIC(nnn=5, device=True)
+        host.cluster(x)
+        dev.cluster(x)
+        assert sorted(map(sorted, host.images_lists)) == sorted(map(sorted, dev.images_lists))
+
 
 class TestUniformLabelEpoch:
     def test_balanced_sampling(self):
