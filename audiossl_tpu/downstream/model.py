@@ -5,6 +5,10 @@ pooled); 0/1/2 probe the per-block taps (already time-pooled, dims
 2048/1024/512 — downstream_config.yaml:16). Note the reference's forward
 applies ``mean(dim=1)`` to the 2-D taps, which would collapse the feature
 axis (§2.5 defect); we use the pooled taps directly, as intended.
+
+``num_classes == 0`` drops the linear head and returns the pooled
+embedding itself — the feature-extraction / serving surface
+(serve/export.py, downstream/extract_features.py).
 """
 from __future__ import annotations
 
@@ -24,6 +28,7 @@ class DownstreamModel(nn.Module):
     encoder_type: str = "AudioNTT2020Task6"  # | Efficient_Net | MAST | AST
     input_tdim: int = 96  # frame count, needed by the transformer encoders
     model_size: str = "base"  # transformer variant (tiny | small | base)
+    compute_dtype: jnp.dtype | None = None  # None = each encoder's default (bf16); f32 for exact serving parity
 
     @nn.compact
     def __call__(self, v: jax.Array, train: bool = False) -> jax.Array:
@@ -34,6 +39,7 @@ class DownstreamModel(nn.Module):
                 return_all_layers=True,
                 axis_name=self.axis_name,
                 name="encoder",
+                **({"compute_dtype": self.compute_dtype} if self.compute_dtype is not None else {}),
             )
             l1, l2, l3, x = enc(v, train)
             h = jnp.mean(x, axis=1) if self.finetune_layer == -1 else (l1, l2, l3)[self.finetune_layer]
@@ -47,6 +53,7 @@ class DownstreamModel(nn.Module):
             h = MASTEncoder(
                 input_fdim=self.n_mels, input_tdim=self.input_tdim,
                 model_size=self.model_size, name="encoder",
+                **({"compute_dtype": self.compute_dtype} if self.compute_dtype is not None else {}),
             )(v, train)
         elif self.encoder_type == "AST":
             from audiossl_tpu.models.ast import ASTConfig, ASTEncoder
@@ -57,4 +64,6 @@ class DownstreamModel(nn.Module):
             )(v, train)
         else:
             raise NotImplementedError(f"unknown downstream encoder {self.encoder_type!r}")
+        if self.num_classes == 0:
+            return h
         return nn.Dense(self.num_classes, name="final", dtype=h.dtype)(h)

@@ -1,0 +1,191 @@
+"""AOT export + serving of trained encoders (jax.export / StableHLO).
+
+The reference has no deployment story: every downstream consumer re-loads a
+torch checkpoint into a Python process and runs eager PyTorch
+(src/utils/utils.py:199-207). The TPU-native equivalent is ahead-of-time
+export: the full inference pipeline (waveform -> on-device log-mel frontend
+-> encoder -> pooled embedding) is traced once, lowered to StableHLO with a
+**symbolic batch dimension**, weights baked in as constants, and serialized
+to one portable artifact. Any process can then deserialize and execute it —
+on TPU or CPU, without the model code, the config, or the checkpoint —
+which is the contract a production serving fleet wants.
+
+CLI:
+    python -m audiossl_tpu.serve.export --checkpoint <ckpt_dir> --out enc.jexp
+    python -m audiossl_tpu.serve.export --artifact enc.jexp --selftest
+
+Library:
+    exp = export_embedder(variables, model, mel_cfg, clip_samples)
+    save_artifact(exp, "enc.jexp")
+    enc = ServingEncoder.load("enc.jexp")
+    emb = enc(waves)            # any batch size; bucketed padding optional
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from typing import Any, Sequence
+
+import jax
+import jax.export as jex
+import jax.numpy as jnp
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def export_embedder(
+    variables: Any,
+    model,
+    mel_cfg,
+    clip_samples: int,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+) -> jex.Exported:
+    """Lower ``waves [b, clip_samples] f32 -> embedding [b, D]`` to StableHLO.
+
+    ``b`` is exported symbolically, so one artifact serves every batch size;
+    weights are closed over and baked into the module as constants.
+    ``model`` is a flax module whose ``apply({'params','batch_stats'}, lms,
+    False)`` consumes NHWC log-mel views (DownstreamModel with
+    ``num_classes=0``); the frontend runs inside the exported program, so
+    the artifact's input really is raw audio.
+    """
+    from audiossl_tpu.frontend.stft import log_mel
+
+    def infer(waves: jax.Array) -> jax.Array:
+        lms = log_mel(waves, mel_cfg)[:, :, :, None]
+        return model.apply(variables, lms, False)
+
+    (b,) = jex.symbolic_shape("b")
+    spec = jax.ShapeDtypeStruct((b, clip_samples), jnp.float32)
+    return jex.export(jax.jit(infer), platforms=list(platforms))(spec)
+
+
+def save_artifact(exported: jex.Exported, path: str) -> None:
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+
+
+def load_artifact(path: str) -> jex.Exported:
+    with open(path, "rb") as f:
+        return jex.deserialize(bytearray(f.read()))
+
+
+class ServingEncoder:
+    """Callable wrapper around a deserialized artifact.
+
+    Each distinct concrete batch size triggers one XLA compile of the
+    shape-polymorphic module; ``bucket`` rounds the batch up to the next
+    multiple (padding with zeros, slicing the result back) so a serving
+    process compiles O(log) shapes instead of one per request size.
+    """
+
+    def __init__(self, exported: jex.Exported, bucket: int | None = None):
+        self.exported = exported
+        self.bucket = bucket
+        self.clip_samples = int(exported.in_avals[0].shape[1])
+        self._call = jax.jit(exported.call)
+
+    @classmethod
+    def load(cls, path: str, bucket: int | None = None) -> "ServingEncoder":
+        return cls(load_artifact(path), bucket=bucket)
+
+    def __call__(self, waves: np.ndarray) -> np.ndarray:
+        waves = np.asarray(waves, np.float32)
+        n = waves.shape[0]
+        if self.bucket and n % self.bucket:
+            waves = np.pad(waves, ((0, self.bucket - n % self.bucket), (0, 0)))
+        out = self._call(jnp.asarray(waves))
+        return np.asarray(out)[:n]
+
+
+def _build_model_and_vars(checkpoint: str, clip_samples: int | None, dtype: str = "default"):
+    """Reconstruct the encoder recorded in <checkpoint>/config.yaml and load
+    its exported variables — the same handoff the downstream probe uses."""
+    import yaml
+
+    from audiossl_tpu.downstream.model import DownstreamModel
+    from audiossl_tpu.frontend.stft import LogMelConfig
+    from audiossl_tpu.train import checkpoint as ckpt
+
+    cfg_path = os.path.join(checkpoint, "config.yaml")
+    with open(cfg_path) as f:
+        pre = yaml.safe_load(f)["pretrain"]
+    inp = pre.get("input", {})
+    mel_cfg = LogMelConfig(
+        sample_rate=int(inp.get("sampling_rate", 16000)),
+        n_mels=int(inp.get("n_mels", 64)),
+    )
+    if clip_samples is None:
+        clip_samples = int(float(inp.get("length_wave", 0.95)) * mel_cfg.sample_rate)
+    n_frames = mel_cfg.num_frames(clip_samples)
+    enc = pre["base_encoder"]
+    model = DownstreamModel(
+        n_mels=mel_cfg.n_mels,
+        d=int(enc.get("output_dim", 2048)),
+        num_classes=0,  # embedding output
+        axis_name=None,  # single-program inference: no mesh collectives
+        encoder_type=str(enc.get("type", "AudioNTT2020Task6")),
+        input_tdim=n_frames,
+        model_size=str(enc.get("model_size", "base")),
+        # f32 gives bit-stable embeddings across recompiles; the default
+        # keeps each encoder's bf16 compute path (faster on the MXU)
+        compute_dtype={"default": None, "f32": jnp.float32, "bf16": jnp.bfloat16}[dtype],
+    )
+    dummy = jnp.zeros((2, mel_cfg.n_mels, n_frames, 1), jnp.float32)
+    variables = jax.jit(
+        lambda k0, k1: model.init({"params": k0, "dropout": k1}, dummy, False)
+    )(jax.random.key(0), jax.random.key(1))
+    target = {
+        "params": variables["params"]["encoder"],
+        "batch_stats": variables.get("batch_stats", {}).get("encoder", {}),
+    }
+    enc_vars = ckpt.load_encoder(checkpoint, target)
+    merged = {"params": {"encoder": enc_vars["params"]}}
+    if enc_vars.get("batch_stats"):
+        merged["batch_stats"] = {"encoder": enc_vars["batch_stats"]}
+    return model, merged, mel_cfg, clip_samples
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--checkpoint", help="upstream checkpoint dir (with encoder/ + config.yaml)")
+    p.add_argument("--out", help="artifact path to write (.jexp)")
+    p.add_argument("--clip_samples", type=int, default=None, help="input length (defaults to the config's length_wave)")
+    p.add_argument("--platforms", default="tpu,cpu", help="comma-separated lowering targets")
+    p.add_argument("--dtype", choices=("default", "f32", "bf16"), default="default",
+                   help="encoder compute dtype (default = encoder's own, usually bf16)")
+    p.add_argument("--artifact", help="existing artifact for --selftest")
+    p.add_argument("--selftest", action="store_true", help="run a random batch through the artifact and print the shape")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+    if args.artifact and args.selftest:
+        enc = ServingEncoder.load(args.artifact)
+        out = enc(np.zeros((3, enc.clip_samples), np.float32))
+        print(f"selftest OK: [3, {enc.clip_samples}] waves -> {out.shape} embeddings")
+        return
+
+    if not args.checkpoint or not args.out:
+        p.error("--checkpoint and --out are required for export")
+    model, variables, mel_cfg, clip = _build_model_and_vars(
+        args.checkpoint, args.clip_samples, args.dtype
+    )
+    exp = export_embedder(
+        variables, model, mel_cfg, clip, platforms=tuple(args.platforms.split(","))
+    )
+    save_artifact(exp, args.out)
+    log.info(
+        "exported %s (%s, %d-sample clips, platforms %s) to %s (%.1f MB)",
+        model.encoder_type, exp.in_avals[0].shape, clip, exp.platforms,
+        args.out, os.path.getsize(args.out) / 1e6,
+    )
+    if args.selftest:
+        enc = ServingEncoder.load(args.out)
+        out = enc(np.zeros((3, clip), np.float32))
+        print(f"selftest OK: [3, {clip}] waves -> {out.shape} embeddings")
+
+
+if __name__ == "__main__":
+    main()

@@ -111,8 +111,24 @@ def load_raw(ckpt_dir: str, step: int, kind: str = "encoder") -> Any:
     cross-shape transplants (models/surgery.py) where the stored pos-embed /
     rel-pos shapes intentionally differ from the target model's."""
     wait_until_finished()
+    path = os.path.join(_path(ckpt_dir), kind, str(step))
     with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(os.path.join(_path(ckpt_dir), kind, str(step)))
+        try:
+            return ckptr.restore(path)
+        except ValueError:
+            # Saved on a different device set than this process has (e.g. an
+            # 8-device pod checkpoint opened by a 1-chip export/serving job):
+            # orbax refuses to reuse the recorded shardings, so rebuild the
+            # tree from stored metadata and restore fully local.
+            sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+            meta = ckptr.metadata(path)
+            tree = getattr(meta, "item_metadata", meta)
+            abstract = jax.tree.map(
+                lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
+                tree,
+                is_leaf=lambda m: hasattr(m, "shape"),
+            )
+            return ckptr.restore(path, abstract)
 
 
 def filter_variables(variables: Any, keep_prefixes: tuple[str, ...]) -> Any:

@@ -1,0 +1,110 @@
+"""AOT export/serving: shape-polymorphic StableHLO artifacts (serve/export.py)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiossl_tpu.downstream.model import DownstreamModel
+from audiossl_tpu.frontend.stft import LogMelConfig, log_mel
+from audiossl_tpu.serve.export import (
+    ServingEncoder,
+    export_embedder,
+    load_artifact,
+    save_artifact,
+)
+
+RNG = np.random.default_rng(11)
+CLIP = 6400  # 0.4 s @ 16 kHz keeps the CPU test cheap
+
+
+def _tiny_model_and_vars():
+    mel_cfg = LogMelConfig()
+    n_frames = mel_cfg.num_frames(CLIP)
+    # f32 compute: bf16 is nondeterministic across recompiles (ReLU-boundary
+    # flips), and these tests compare the artifact against a direct apply
+    model = DownstreamModel(
+        n_mels=64, d=64, num_classes=0, axis_name=None,
+        encoder_type="AudioNTT2020Task6", input_tdim=n_frames,
+        compute_dtype=jnp.float32,
+    )
+    dummy = jnp.zeros((2, 64, n_frames, 1), jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, dummy, False)
+    return model, variables, mel_cfg
+
+
+class TestExportRoundtrip:
+    def test_symbolic_batch_matches_direct_apply(self, tmp_path):
+        model, variables, mel_cfg = _tiny_model_and_vars()
+        exp = export_embedder(variables, model, mel_cfg, CLIP, platforms=("cpu",))
+        path = os.path.join(tmp_path, "enc.jexp")
+        save_artifact(exp, path)
+        enc = ServingEncoder.load(path)
+        assert enc.clip_samples == CLIP
+
+        # one artifact, several batch sizes (the symbolic dimension)
+        for b in (3, 8):
+            waves = (0.3 * RNG.standard_normal((b, CLIP))).astype(np.float32)
+            got = enc(waves)
+            lms = log_mel(jnp.asarray(waves), mel_cfg)[:, :, :, None]
+            want = np.asarray(model.apply(variables, lms, False))
+            assert got.shape == (b, 64)
+            np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_bucketed_padding_slices_back(self, tmp_path):
+        model, variables, mel_cfg = _tiny_model_and_vars()
+        exp = export_embedder(variables, model, mel_cfg, CLIP, platforms=("cpu",))
+        enc = ServingEncoder(exp, bucket=4)
+        waves = (0.3 * RNG.standard_normal((5, CLIP))).astype(np.float32)
+        got = enc(waves)  # padded to 8 internally, sliced back to 5
+        assert got.shape == (5, 64)
+        unbucketed = ServingEncoder(exp)(waves)
+        np.testing.assert_allclose(got, unbucketed, rtol=2e-5, atol=2e-5)
+
+    def test_artifact_is_self_contained(self, tmp_path):
+        """The deserialized artifact must run without the model object."""
+        model, variables, mel_cfg = _tiny_model_and_vars()
+        path = os.path.join(tmp_path, "enc.jexp")
+        save_artifact(export_embedder(variables, model, mel_cfg, CLIP, platforms=("cpu",)), path)
+        exp = load_artifact(path)
+        out = jax.jit(exp.call)(jnp.zeros((2, CLIP), jnp.float32))
+        assert out.shape == (2, 64) and np.isfinite(np.asarray(out)).all()
+
+
+class TestExportCLI:
+    def test_checkpoint_to_artifact(self, tmp_path):
+        """End-to-end: orbax encoder checkpoint + config.yaml -> artifact -> serve."""
+        import yaml
+
+        from audiossl_tpu.serve.export import main
+        from audiossl_tpu.train import checkpoint as ckpt
+
+        model, variables, mel_cfg = _tiny_model_and_vars()
+        enc_vars = {
+            "params": variables["params"]["encoder"],
+            "batch_stats": variables["batch_stats"]["encoder"],
+        }
+        ckpt_dir = os.path.join(tmp_path, "run_chkp")
+        ckpt.save_encoder_only(ckpt_dir, 7, enc_vars)
+        with open(os.path.join(ckpt_dir, "config.yaml"), "w") as f:
+            yaml.safe_dump(
+                {
+                    "pretrain": {
+                        "base_encoder": {"type": "AudioNTT2020Task6", "output_dim": 64},
+                        "input": {"sampling_rate": 16000, "n_mels": 64, "length_wave": 0.4},
+                    }
+                },
+                f,
+            )
+        out_path = os.path.join(tmp_path, "enc.jexp")
+        main([
+            "--checkpoint", ckpt_dir, "--out", out_path,
+            "--clip_samples", str(CLIP), "--platforms", "cpu", "--dtype", "f32",
+        ])
+        enc = ServingEncoder.load(out_path)
+        waves = (0.3 * RNG.standard_normal((3, CLIP))).astype(np.float32)
+        got = enc(waves)
+        lms = log_mel(jnp.asarray(waves), mel_cfg)[:, :, :, None]
+        want = np.asarray(model.apply(variables, lms, False))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
