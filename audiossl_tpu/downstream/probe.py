@@ -205,7 +205,8 @@ def run_downstream(config: dict[str, Any], args: dict[str, Any]):
             in_specs=(P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
             out_specs=(P(), P(), P(), P()),
             check_vma=False,
-        )
+        ),
+        donate_argnums=(0, 1, 2),  # params/batch_stats/opt_state update in place
     )
 
     def eval_fn(params, batch_stats, waves):

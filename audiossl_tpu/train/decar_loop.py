@@ -196,7 +196,8 @@ def train_decar(
     )
     step_fn = jax.jit(
         shard_map(step_fn, mesh=mesh, in_specs=(state_specs, P(axis), P(axis)),
-                  out_specs=(state_specs, P()), check_vma=False)
+                  out_specs=(state_specs, P()), check_vma=False),
+        donate_argnums=(0,),  # in-place state update (incl. the memory bank)
     )
 
     # ---- init memory bank with a forward pass (utils.py:244-269)

@@ -162,7 +162,8 @@ def train_deepcluster_v1(
     train_step = jax.jit(
         shard_map(train_step, mesh=mesh,
                   in_specs=(P(), P(), P(), P(axis), P(axis), P()),
-                  out_specs=(P(), P(), P(), P()), check_vma=False)
+                  out_specs=(P(), P(), P(), P()), check_vma=False),
+        donate_argnums=(0, 1, 2),  # params/batch_stats/opt_state update in place
     )
 
     repl = NamedSharding(mesh, P())

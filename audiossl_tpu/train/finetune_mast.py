@@ -191,7 +191,8 @@ def train_finetune_mast(
     train_step = jax.jit(
         shard_map(train_step, mesh=mesh,
                   in_specs=(P(), P(), P(axis), P(axis), P()),
-                  out_specs=(P(), P(), P()), check_vma=False)
+                  out_specs=(P(), P(), P()), check_vma=False),
+        donate_argnums=(0, 1),  # params/opt_state update in place
     )
 
     def eval_fn(params, waves):

@@ -129,7 +129,10 @@ def make_train_step(
         check_vma=False,
     )
 
-    @jax.jit
+    # donate the carried state: params/optimizer/queue/memory-bank buffers
+    # update in place instead of allocating a second copy every step (halves
+    # state HBM footprint; lets XLA alias the big MoCo-queue scatter)
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, waves: jax.Array, labels: jax.Array | None = None):
         return sharded(state, waves, labels)
 
