@@ -15,7 +15,7 @@ CLI:
     python -m audiossl_tpu.serve.export --artifact enc.jexp --selftest
 
 Library:
-    exp = export_embedder(variables, model, mel_cfg, clip_samples)
+    exp = export_embedder(variables, model, frontend, clip_samples)
     save_artifact(exp, "enc.jexp")
     enc = ServingEncoder.load("enc.jexp")
     emb = enc(waves)            # any batch size; bucketed padding optional
@@ -35,10 +35,32 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 
+def _portable_features(frontend, waves: jax.Array) -> jax.Array:
+    """[b, L] -> [b, F, T] via pure-XLA ops only: an exported module must run
+    on every lowering target, so the TPU-only Pallas kernels the training
+    FrontendSpec dispatches to are deliberately bypassed here."""
+    from audiossl_tpu.frontend import FrontendSpec
+    from audiossl_tpu.frontend.fbank import FbankConfig, kaldi_fbank, pad_or_trim_frames
+    from audiossl_tpu.frontend.stft import LogMelConfig, log_mel
+
+    if isinstance(frontend, LogMelConfig):
+        return log_mel(waves, frontend)
+    assert isinstance(frontend, FrontendSpec), frontend
+    if frontend.kind == "fbank":
+        cfg = FbankConfig(sample_rate=frontend.sample_rate, num_mel_bins=frontend.n_mels)
+        fb = kaldi_fbank(waves, cfg)
+        if frontend.target_length:
+            fb = pad_or_trim_frames(fb, frontend.target_length)
+        return jnp.swapaxes(fb, -1, -2)
+    return log_mel(
+        waves, LogMelConfig(sample_rate=frontend.sample_rate, n_mels=frontend.n_mels)
+    )
+
+
 def export_embedder(
     variables: Any,
     model,
-    mel_cfg,
+    frontend,
     clip_samples: int,
     platforms: Sequence[str] = ("tpu", "cpu"),
 ) -> jex.Exported:
@@ -46,16 +68,16 @@ def export_embedder(
 
     ``b`` is exported symbolically, so one artifact serves every batch size;
     weights are closed over and baked into the module as constants.
-    ``model`` is a flax module whose ``apply({'params','batch_stats'}, lms,
-    False)`` consumes NHWC log-mel views (DownstreamModel with
-    ``num_classes=0``); the frontend runs inside the exported program, so
-    the artifact's input really is raw audio.
+    ``model`` is a flax module whose ``apply({'params','batch_stats'},
+    feats, False)`` consumes NHWC feature views (DownstreamModel with
+    ``num_classes=0``); ``frontend`` is a LogMelConfig or FrontendSpec (the
+    fbank kind serves the MAST/AST family), and it runs inside the exported
+    program, so the artifact's input really is raw audio.
     """
-    from audiossl_tpu.frontend.stft import log_mel
 
     def infer(waves: jax.Array) -> jax.Array:
-        lms = log_mel(waves, mel_cfg)[:, :, :, None]
-        return model.apply(variables, lms, False)
+        feats = _portable_features(frontend, waves)[:, :, :, None]
+        return model.apply(variables, feats, False)
 
     (b,) = jex.symbolic_shape("b")
     spec = jax.ShapeDtypeStruct((b, clip_samples), jnp.float32)
@@ -106,23 +128,20 @@ def _build_model_and_vars(checkpoint: str, clip_samples: int | None, dtype: str 
     import yaml
 
     from audiossl_tpu.downstream.model import DownstreamModel
-    from audiossl_tpu.frontend.stft import LogMelConfig
+    from audiossl_tpu.frontend import build_frontend
     from audiossl_tpu.train import checkpoint as ckpt
 
     cfg_path = os.path.join(checkpoint, "config.yaml")
     with open(cfg_path) as f:
         pre = yaml.safe_load(f)["pretrain"]
     inp = pre.get("input", {})
-    mel_cfg = LogMelConfig(
-        sample_rate=int(inp.get("sampling_rate", 16000)),
-        n_mels=int(inp.get("n_mels", 64)),
-    )
+    frontend = build_frontend(inp)  # logmel, or Kaldi fbank for MAST/AST configs
     if clip_samples is None:
-        clip_samples = int(float(inp.get("length_wave", 0.95)) * mel_cfg.sample_rate)
-    n_frames = mel_cfg.num_frames(clip_samples)
+        clip_samples = int(float(inp.get("length_wave", 0.95)) * frontend.sample_rate)
+    n_frames = frontend.num_frames(clip_samples)
     enc = pre["base_encoder"]
     model = DownstreamModel(
-        n_mels=mel_cfg.n_mels,
+        n_mels=frontend.n_mels,
         d=int(enc.get("output_dim", 2048)),
         num_classes=0,  # embedding output
         axis_name=None,  # single-program inference: no mesh collectives
@@ -133,7 +152,7 @@ def _build_model_and_vars(checkpoint: str, clip_samples: int | None, dtype: str 
         # keeps each encoder's bf16 compute path (faster on the MXU)
         compute_dtype={"default": None, "f32": jnp.float32, "bf16": jnp.bfloat16}[dtype],
     )
-    dummy = jnp.zeros((2, mel_cfg.n_mels, n_frames, 1), jnp.float32)
+    dummy = jnp.zeros((2, frontend.n_mels, n_frames, 1), jnp.float32)
     variables = jax.jit(
         lambda k0, k1: model.init({"params": k0, "dropout": k1}, dummy, False)
     )(jax.random.key(0), jax.random.key(1))
@@ -145,7 +164,7 @@ def _build_model_and_vars(checkpoint: str, clip_samples: int | None, dtype: str 
     merged = {"params": {"encoder": enc_vars["params"]}}
     if enc_vars.get("batch_stats"):
         merged["batch_stats"] = {"encoder": enc_vars["batch_stats"]}
-    return model, merged, mel_cfg, clip_samples
+    return model, merged, frontend, clip_samples
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -169,11 +188,11 @@ def main(argv: list[str] | None = None) -> None:
 
     if not args.checkpoint or not args.out:
         p.error("--checkpoint and --out are required for export")
-    model, variables, mel_cfg, clip = _build_model_and_vars(
+    model, variables, frontend, clip = _build_model_and_vars(
         args.checkpoint, args.clip_samples, args.dtype
     )
     exp = export_embedder(
-        variables, model, mel_cfg, clip, platforms=tuple(args.platforms.split(","))
+        variables, model, frontend, clip, platforms=tuple(args.platforms.split(","))
     )
     save_artifact(exp, args.out)
     log.info(

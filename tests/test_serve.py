@@ -72,6 +72,53 @@ class TestExportRoundtrip:
         assert out.shape == (2, 64) and np.isfinite(np.asarray(out)).all()
 
 
+class TestFbankFamilyExport:
+    def test_ast_fbank_artifact(self, tmp_path):
+        """MAST/AST-family serving: the exporter must follow the checkpoint
+        config's frontend (Kaldi fbank), not assume log-mel."""
+        import yaml
+
+        from audiossl_tpu.frontend import FrontendSpec
+        from audiossl_tpu.serve.export import _portable_features, main
+        from audiossl_tpu.train import checkpoint as ckpt
+
+        clip = 4800  # 0.3 s -> 28 fbank frames -> AST grid (12, 2)
+        frontend = FrontendSpec(kind="fbank", n_mels=128, sample_rate=16000)
+        n_frames = frontend.num_frames(clip)
+        model = DownstreamModel(
+            n_mels=128, d=192, num_classes=0, axis_name=None,
+            encoder_type="AST", input_tdim=n_frames, model_size="tiny",
+        )
+        dummy = jnp.zeros((2, 128, n_frames, 1), jnp.float32)
+        variables = model.init({"params": jax.random.key(2), "dropout": jax.random.key(3)}, dummy, False)
+        enc_vars = {"params": variables["params"]["encoder"], "batch_stats": {}}
+        ckpt_dir = os.path.join(tmp_path, "ssmast_chkp")
+        ckpt.save_encoder_only(ckpt_dir, 1, enc_vars)
+        with open(os.path.join(ckpt_dir, "config.yaml"), "w") as f:
+            yaml.safe_dump(
+                {
+                    "pretrain": {
+                        "base_encoder": {"type": "AST", "output_dim": 192, "model_size": "tiny"},
+                        "input": {
+                            "type": "fbank", "sampling_rate": 16000, "n_mels": 128,
+                            "length_wave": 0.3,
+                        },
+                    }
+                },
+                f,
+            )
+        out_path = os.path.join(tmp_path, "ast.jexp")
+        main(["--checkpoint", ckpt_dir, "--out", out_path, "--platforms", "cpu"])
+        enc = ServingEncoder.load(out_path)
+        assert enc.clip_samples == clip
+        waves = (0.3 * RNG.standard_normal((2, clip))).astype(np.float32)
+        got = enc(waves)
+        feats = _portable_features(frontend, jnp.asarray(waves))[:, :, :, None]
+        want = np.asarray(model.apply(variables, feats, False))
+        assert got.shape == (2, 192)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 class TestExportCLI:
     def test_checkpoint_to_artifact(self, tmp_path):
         """End-to-end: orbax encoder checkpoint + config.yaml -> artifact -> serve."""
