@@ -88,12 +88,20 @@ class FbankConfig:
 @partial(jax.jit, static_argnames=("cfg",))
 def kaldi_fbank(wave: jax.Array, cfg: FbankConfig = FbankConfig()) -> jax.Array:
     """[..., n_samples] -> [..., n_frames, num_mel_bins] log-fbank."""
-    ws, shift, nfft = cfg.window_size, cfg.shift, cfg.padded_window
-    n = wave.shape[-1]
-    n_frames = cfg.num_frames(n)
+    ws, shift = cfg.window_size, cfg.shift
+    n_frames = cfg.num_frames(wave.shape[-1])
     idx = np.arange(n_frames)[:, None] * shift + np.arange(ws)[None, :]
     frames = jnp.take(wave.astype(jnp.float32), jnp.asarray(idx), axis=-1)  # [..., T, ws]
+    return fbank_from_frames(frames, cfg)
 
+
+def fbank_from_frames(frames: jax.Array, cfg: FbankConfig) -> jax.Array:
+    """[..., T, window_size] raw frames -> [..., T, num_mel_bins] log-fbank.
+
+    Kaldi's processing is strictly per-frame (snip-edges framing has no
+    cross-frame state), so this is the shared tail of the batch path and the
+    streaming frontend (frontend/streaming.py StreamingFbank)."""
+    ws, nfft = cfg.window_size, cfg.padded_window
     if cfg.remove_dc_offset:
         frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
     if cfg.preemphasis:

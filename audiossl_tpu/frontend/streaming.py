@@ -105,3 +105,49 @@ class StreamingLogMel:
             return jnp.zeros((*state.shape[:-1], cfg.n_mels, 0), jnp.float32)
         x = jnp.pad(state, [(0, 0)] * (state.ndim - 1) + [(0, self.pad)], mode="reflect")
         return _logmel_frames(x, cfg)
+
+
+class StreamingFbank:
+    """Chunked Kaldi fbank (the MAST/AST-family frontend, frontend/fbank.py).
+
+    Kaldi's snip-edges framing has no edge padding and every frame is
+    processed independently, so the carried state is just the
+    ``window_size - shift`` overlap samples. Emits [..., chunk//shift,
+    num_mel_bins] per step — identical frames to the batch `kaldi_fbank` on
+    the concatenated stream (no finish step: snip-edges drops the tail)."""
+
+    def __init__(self, cfg=None):
+        from audiossl_tpu.frontend.fbank import FbankConfig
+
+        self.cfg = cfg if cfg is not None else FbankConfig()
+
+    def buf_len(self, first_chunk_len: int) -> int:
+        cfg = self.cfg
+        if first_chunk_len % cfg.shift:
+            raise ValueError(f"chunk length must be a multiple of shift={cfg.shift}")
+        if first_chunk_len < cfg.window_size:
+            raise ValueError(f"first chunk too short: need >= {cfg.window_size} samples")
+        return first_chunk_len - cfg.shift * cfg.num_frames(first_chunk_len)
+
+    @partial(jax.jit, static_argnums=0)
+    def start(self, first_chunk: jax.Array) -> tuple[jax.Array, jax.Array]:
+        self.buf_len(first_chunk.shape[-1])
+        return self._emit(first_chunk, self.cfg.num_frames(first_chunk.shape[-1]))
+
+    @partial(jax.jit, static_argnums=0)
+    def step(self, state: jax.Array, chunk: jax.Array) -> tuple[jax.Array, jax.Array]:
+        cfg = self.cfg
+        if chunk.shape[-1] % cfg.shift:
+            raise ValueError(f"chunk length must be a multiple of shift={cfg.shift}")
+        x = jnp.concatenate([state, chunk], axis=-1)
+        return self._emit(x, chunk.shape[-1] // cfg.shift)
+
+    def _emit(self, x: jax.Array, n_frames: int) -> tuple[jax.Array, jax.Array]:
+        import numpy as _np
+
+        from audiossl_tpu.frontend.fbank import fbank_from_frames
+
+        cfg = self.cfg
+        idx = _np.arange(n_frames)[:, None] * cfg.shift + _np.arange(cfg.window_size)[None, :]
+        frames = jnp.take(x.astype(jnp.float32), jnp.asarray(idx), axis=-1)
+        return x[..., cfg.shift * n_frames :], fbank_from_frames(frames, cfg)

@@ -67,6 +67,27 @@ class TestStreamingEqualsBatch:
         want = np.asarray(log_mel(wave, cfg))
         np.testing.assert_allclose(got, want, atol=1e-5)
 
+    def test_fbank_streaming_matches_batch(self):
+        from audiossl_tpu.frontend.fbank import FbankConfig, kaldi_fbank
+        from audiossl_tpu.frontend.streaming import StreamingFbank
+
+        cfg = FbankConfig()
+        n = 160 * 50
+        wave = jnp.asarray((0.3 * RNG.standard_normal((2, n))).astype(np.float32))
+        want = np.asarray(kaldi_fbank(wave, cfg))
+        sf = StreamingFbank(cfg)
+        state, o0 = sf.start(wave[..., : 160 * 12])
+        outs = [o0]
+        for s in range(160 * 12, n, 160 * 10):
+            state, o = sf.step(state, wave[..., s : s + 160 * 10])
+            outs.append(o)
+        got = np.concatenate([np.asarray(o) for o in outs], axis=-2)
+        assert got.shape == want.shape
+        # different frame-batch shapes reassociate the DFT matmul; the log
+        # amplifies quiet bins to ~1.5e-4 — hold the streaming path to the
+        # same 1e-3 contract the batch frontend carries vs its oracle
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
     def test_rejects_bad_chunks(self):
         sl = StreamingLogMel(LogMelConfig())
         with pytest.raises(ValueError):
