@@ -47,8 +47,14 @@ class ManifestLoader:
         labels_map: dict | None = None,
         path_prefix: str | None = None,
         wire_dtype: str = "float32",  # 'int16' halves host->device bytes
+        host_shard: tuple[int, int] | None = None,  # (process_index, process_count)
     ):
         self.wire_dtype = wire_dtype
+        # multi-host pod training: every host seeds the same global
+        # permutation and takes its rank-strided slice — torch
+        # DistributedSampler semantics (train_downstream.py:63), padded by
+        # wrapping so all hosts see the same batch count
+        self.host_shard = host_shard
         # a pre-built DataFrame is accepted for in-memory splits (the LAPE
         # single-CSV tasks' 80/20 stratified train/test split)
         if isinstance(csv_path, pd.DataFrame):
@@ -77,6 +83,8 @@ class ManifestLoader:
 
     def __len__(self) -> int:
         n = len(self.files)
+        if self.host_shard is not None:
+            n = -(-n // self.host_shard[1])  # padded per-host sample count
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     @property
@@ -87,6 +95,15 @@ class ManifestLoader:
         wave = load_wave(self.files[idx], self.sample_rate)
         return extract_window_np(wave, self.clip_samples, rng)
 
+    def _host_slice(self, order: np.ndarray) -> np.ndarray:
+        """Rank-strided slice of the (identically seeded) global permutation,
+        wrapped to equal length per host like DistributedSampler's padding."""
+        index, count = self.host_shard
+        total = -(-len(order) // count) * count
+        if total > len(order):
+            order = np.concatenate([order, order[: total - len(order)]])
+        return order[index::count]
+
     def epoch(self, epoch: int = 0, order: np.ndarray | None = None) -> Iterator:
         """``order`` overrides the shuffle with an explicit index sequence
         (the DeepCluster-v1 UnifLabelSampler epoch — utils.py:105-148)."""
@@ -96,12 +113,15 @@ class ManifestLoader:
                 np.random.default_rng(self.seed + epoch).shuffle(order)
         else:
             order = np.asarray(order)
+        if self.host_shard is not None:
+            order = self._host_slice(order)
         n_batches = (
             len(order) // self.batch_size
             if self.drop_last
             else -(-len(order) // self.batch_size)
         )
-        rng = np.random.default_rng((self.seed, epoch))
+        host = self.host_shard[0] if self.host_shard else 0
+        rng = np.random.default_rng((self.seed, epoch, host))
 
         from audiossl_tpu.data import native
 
@@ -112,7 +132,9 @@ class ManifestLoader:
             if use_native:
                 # C++ decode+window pool (data/_native/wavloader.cpp);
                 # SeedSequence mixes (seed, epoch, batch) collision-free
-                batch_seed = int(np.random.SeedSequence([self.seed, epoch, b]).generate_state(1)[0])
+                batch_seed = int(
+                    np.random.SeedSequence([self.seed, epoch, b, host]).generate_state(1)[0]
+                )
                 waves = native.load_batch(
                     [self.files[i] for i in idxs],
                     self.clip_samples,

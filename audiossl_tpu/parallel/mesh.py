@@ -32,8 +32,19 @@ def batch_sharded(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = DATA_AXIS):
-    """Place host arrays on the mesh, leading dim sharded across ``axis``."""
+    """Place host arrays on the mesh, leading dim sharded across ``axis``.
+
+    Single-host: a plain device_put. Multi-host pod (jax.distributed mesh):
+    each process passes only its LOCAL slice of the global batch (the
+    ManifestLoader ``host_shard`` split) and the global array is assembled
+    from per-process shards — the jax equivalent of DistributedSampler +
+    per-device batch_size // world_size (train_downstream.py:63-66).
+    """
     sharding = batch_sharded(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(sharding, np.asarray(a)), batch
+        )
     return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
 
 

@@ -122,15 +122,23 @@ def train_upstream(
     from audiossl_tpu.frontend import build_frontend
 
     mel_cfg = build_frontend(pre["input"])
+    # multi-host pod: each process loads its rank-strided manifest slice and
+    # feeds batch/n_hosts clips per step (DistributedSampler semantics);
+    # shard_batch assembles the global array from the per-process shards
+    n_hosts = jax.process_count()
+    if batch % (n_dev * n_hosts) and n_hosts > 1:
+        batch = n_dev * n_hosts * max(1, batch // (n_dev * n_hosts))
+        log.warning("batch_size adjusted to %d to divide %d hosts", batch, n_hosts)
     loader = ManifestLoader(
         input_csv,
-        batch_size=batch,
+        batch_size=batch // n_hosts,
         clip_samples=clip,
         sample_rate=mel_cfg.sample_rate,
         labeled=labeled,
         num_workers=int(run.get("num_dataloader_workers", 8)),
         seed=seed,
         wire_dtype=str(run.get("wire_dtype", "int16")),
+        host_shard=(jax.process_index(), n_hosts) if n_hosts > 1 else None,
     )
     pre["steps_per_epoch"] = max(len(loader), 1)
     objective = labeled_cls(config)
@@ -151,6 +159,13 @@ def train_upstream(
     if run.get("lr_schedule") == "warmup_cosine":
         lr = warmup_cosine(lr, epochs * steps_per_epoch, 10 * steps_per_epoch)
     tx = build_optimizer(opt_name, lr, **(run.get("optimizer_args") or {}))
+    # run.zero_optimizer: shard optimizer moments across the mesh (ZeRO-1/2,
+    # train/zero.py) — elementwise optimizers only
+    zero = bool(run.get("zero_optimizer", False))
+    if zero:
+        from audiossl_tpu.train.zero import assert_zero_compatible
+
+        assert_zero_compatible(opt_name)
 
     state = init_train_state(
         objective,
@@ -163,6 +178,7 @@ def train_upstream(
         clip_samples=clip,
         normalization=pre.get("normalization", "mean_var"),
         labeled=labeled,
+        zero=zero,
     )
     if load_checkpoint:
         state = ckpt.restore_checkpoint(load_checkpoint, state)
@@ -176,13 +192,20 @@ def train_upstream(
         mesh,
         normalization=pre.get("normalization", "mean_var"),
         labeled=labeled,
+        zero=zero,
     )
 
     save_path = run.get("save_path", "./runs/" + upstream)
     ckpt_dir = save_path + "_chkp"
     os.makedirs(ckpt_dir, exist_ok=True)
     stats_path = os.path.join(ckpt_dir, "stats.jsonl")
-    stats_file = open(stats_path, "a", buffering=1)
+    # master-only stats on a pod (mvit/utils/logging.py:38-54 semantics);
+    # checkpoint saves below stay collective across processes
+    stats_file = (
+        open(stats_path, "a", buffering=1)
+        if jax.process_index() == 0
+        else open(os.devnull, "w")
+    )
 
     best_loss = float("inf")
     global_step = int(state.step)

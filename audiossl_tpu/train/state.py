@@ -9,7 +9,7 @@ import jax
 class TrainState(NamedTuple):
     step: jax.Array  # int32, replicated
     params: Any  # trainable params, replicated
-    opt_state: Any  # optax state, replicated
+    opt_state: Any  # optax state, replicated (or mesh-sharded with leading [n_shards] axis under run.zero_optimizer — train/zero.py)
     batch_stats: Any  # flax BN stats, replicated
     ssl_state: Any  # objective state (queue/ptr/momentum params/...), replicated
     aug_state: Any  # augmentation state, leading [n_shards] axis, mesh-sharded

@@ -81,10 +81,14 @@ def make_train_step(
     normalization: str = "mean_var",
     labeled: bool = False,
     axis: str = DATA_AXIS,
+    zero: bool = False,
 ) -> Callable[[TrainState, jax.Array], tuple[TrainState, dict]]:
     """Build the jitted step. ``labeled`` passes per-clip labels through to the
-    objective (UnFuSeD pseudo-label training, SURVEY.md §2.1)."""
+    objective (UnFuSeD pseudo-label training, SURVEY.md §2.1). ``zero`` shards
+    the optimizer state across the mesh (train/zero.py): grads reduce-scatter
+    instead of pmean, moments live 1/n per chip, updates all_gather back."""
     mel_cfg = as_frontend(mel_cfg)
+    n_shards = mesh.devices.size
 
     def step_fn(state: TrainState, waves: jax.Array, labels: jax.Array | None):
         key = jax.random.fold_in(state.rng, state.step)
@@ -102,8 +106,16 @@ def make_train_step(
             )
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        grads = jax.lax.pmean(grads, axis)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if zero:
+            from audiossl_tpu.train.zero import zero_update
+
+            updates, opt_local = zero_update(
+                tx, grads, _local(state.opt_state), state.params, n_shards, axis
+            )
+            opt_state = _global(opt_local)
+        else:
+            grads = jax.lax.pmean(grads, axis)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {k: jax.lax.pmean(v, axis) for k, v in aux.metrics.items()}
 
@@ -119,7 +131,13 @@ def make_train_step(
         return new_state, metrics
 
     state_specs = TrainState(
-        step=P(), params=P(), opt_state=P(), batch_stats=P(), ssl_state=P(), aug_state=P(axis), rng=P()
+        step=P(),
+        params=P(),
+        opt_state=P(axis) if zero else P(),
+        batch_stats=P(),
+        ssl_state=P(),
+        aug_state=P(axis),
+        rng=P(),
     )
     sharded = shard_map(
         step_fn,
@@ -152,6 +170,7 @@ def init_train_state(
     clip_samples: int,
     normalization: str = "mean_var",
     labeled: bool = False,
+    zero: bool = False,
 ) -> TrainState:
     """Initialize params/state from a dummy batch (shapes only)."""
     mel_cfg = as_frontend(mel_cfg)
@@ -168,7 +187,12 @@ def init_train_state(
     # jit the init: eager flax init dispatches one op at a time, which is
     # minutes of round trips for MViT-base through a remote-device tunnel
     params, batch_stats, ssl_state = jax.jit(objective.init)(k_init, views)
-    opt_state = tx.init(params)
+    if zero:
+        from audiossl_tpu.train.zero import zero_init
+
+        opt_state = jax.jit(partial(zero_init, tx, n_shards=n_shards))(params)
+    else:
+        opt_state = tx.init(params)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -183,7 +207,10 @@ def init_train_state(
 
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(DATA_AXIS))
-    state = jax.tree.map(lambda a: jax.device_put(a, repl), state._replace(aug_state=None))._replace(
-        aug_state=jax.tree.map(lambda a: jax.device_put(a, shard), aug_state)
+    state = jax.tree.map(
+        lambda a: jax.device_put(a, repl), state._replace(aug_state=None, opt_state=None)
+    )._replace(
+        aug_state=jax.tree.map(lambda a: jax.device_put(a, shard), aug_state),
+        opt_state=jax.tree.map(lambda a: jax.device_put(a, shard if zero else repl), opt_state),
     )
     return state
