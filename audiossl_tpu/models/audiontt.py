@@ -73,22 +73,102 @@ class BandedConv1(nn.Module):
         return y.reshape(b, t, f, self.features) + bias.astype(dt)
 
 
+class _ConvParams(nn.Module):
+    """Parameter container matching nn.Conv's variable layout (kernel/bias),
+    so the fused block-1 path shares checkpoints with the unfused one."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, 1, self.features), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
+class _BNState(nn.Module):
+    """Parameter/stat container matching nn.BatchNorm's variable layout."""
+
+    features: int
+    momentum: float
+
+    @nn.compact
+    def __call__(self, batch_mean: jax.Array | None, batch_var: jax.Array | None):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+        if batch_mean is not None and not self.is_initializing():
+            ra_mean.value = self.momentum * ra_mean.value + (1.0 - self.momentum) * batch_mean
+            ra_var.value = self.momentum * ra_var.value + (1.0 - self.momentum) * batch_var
+        return scale, bias, ra_mean.value, ra_var.value
+
+
 class ConvBlock(nn.Module):
     """Conv 3x3 -> BN -> ReLU -> MaxPool 2x2 on time-major [B, T, F, C].
 
     ``banded=True`` swaps the conv for ``BandedConv1`` (C_in=1 only) — an
     MXU-dense option for when block 1 is compute-bound; on v5e the plain
     conv wins (HBM-bound, see module docstring), so it stays the default.
+
+    ``fused=True`` (C_in=1 only) replaces the whole block with the Pallas
+    fused kernels of ops/block1.py — the [B, T, F, C] conv activation never
+    reaches HBM (the dominant traffic of the encoder, PERF.md). Parameter /
+    batch-stat names match the unfused path exactly, so checkpoints are
+    interchangeable. The block-1 INPUT gradient is not computed on this
+    path (zeros) — valid here because the spectrogram views upstream carry
+    no trainable parameters.
+
+    The fused path engages only when ``train=True``: the win is the
+    backward's dropped activation traffic and the recompute-free batch
+    stats; XLA's eval forward (BN folded to an affine, conv+relu+pool
+    fused) measures faster than the kernel, and keeping eval on XLA also
+    keeps traced serving exports free of TPU-only custom calls.
     """
 
     features: int = 64
     axis_name: str | None = None
     bn_momentum: float = 0.9  # torch BatchNorm2d default momentum=0.1
     banded: bool = False  # C_in=1 banded-matmul path (expects [B, T, F] input)
+    fused: bool = False  # C_in=1 fused Pallas block (ops/block1.py)
+    fused_interpret: bool = False  # pallas interpret mode (CPU tests)
+    fused_rt: int = 512  # forward kernel row tile (backward clamps to BWD_RT)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         dtype = x.dtype
+        if self.fused and train:
+            from audiossl_tpu.ops.block1 import (
+                block1_batch_stats, block1_streams, fused_block1,
+            )
+
+            x3 = x[..., 0] if x.ndim == 4 else x
+            b, t, f = x3.shape
+            kernel, cbias = _ConvParams(self.features, name="Conv_0")()
+            # one stream prep shared by the quadratic-form batch stats, the
+            # apply kernel and (via the vjp residuals) both backward passes
+            xe, xo, n_valid = block1_streams(x3, self.fused_rt)
+            # flax BatchNorm skips the axis during init (no mesh context yet)
+            ax = self.axis_name if not self.is_initializing() else None
+            mean, var = block1_batch_stats(
+                xe, xo, n_valid, kernel, cbias, f,
+                axis_name=ax, rt=self.fused_rt,
+                interpret=self.fused_interpret,
+            )
+            scale, bbias, _, _ = _BNState(
+                self.features, self.bn_momentum, name="BatchNorm_0"
+            )(jax.lax.stop_gradient(mean), jax.lax.stop_gradient(var))
+            pooled = fused_block1(
+                xe, xo, n_valid, kernel, cbias, scale, bbias, mean, var, f,
+                True, ax, self.fused_rt, self.fused_interpret,
+            )
+            return pooled.reshape(b, t // 2, f // 2, self.features)
         if self.banded:
             x = BandedConv1(self.features, dtype=dtype)(x)
         else:
@@ -130,14 +210,28 @@ class AudioNTT2020Task6(nn.Module):
     axis_name: str | None = None
     dropout_rate: float = 0.3
     compute_dtype: jnp.dtype = jnp.bfloat16  # MXU-friendly; taps/outputs return f32
+    # block 1 fused Pallas path (ops/block1.py): "auto" enables it on TPU
+    # only (checkpoint-compatible either way); True forces it (interpret
+    # mode off-TPU, for tests), False keeps the plain conv block.
+    fused_block1: bool | str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         # x: [B, F, T, 1] -> time-major [B, T, F, 1] (small: pre-conv activations)
         x = jnp.transpose(x, (0, 2, 1, 3)).astype(self.compute_dtype)
+        on_tpu = jax.default_backend() == "tpu"
+        use_fused = self.fused_block1 is True or (self.fused_block1 == "auto" and on_tpu)
+        if use_fused:
+            from audiossl_tpu.ops import block1 as _b1
+
+            use_fused = _b1.feasible(x.shape[1], x.shape[2], 64)
         taps = []
         for i in range(3):
-            x = ConvBlock(axis_name=self.axis_name)(x, train)
+            x = ConvBlock(
+                axis_name=self.axis_name,
+                fused=use_fused and i == 0,
+                fused_interpret=not on_tpu,
+            )(x, train)
             taps.append(_time_tap(x))
 
         b, t, f, c = x.shape  # f = n_mels/8, c = 64

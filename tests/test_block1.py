@@ -1,0 +1,179 @@
+"""Fused block-1 Pallas path (ops/block1.py) vs the unfused flax block.
+
+Run in interpret mode on the CPU mesh with f32 compute, where both paths
+are exact — forward, batch-stat updates, and parameter gradients (incl. the
+BatchNorm batch-statistics paths the custom vjp carries analytically, and
+the maxpool first-max tie-breaking that relu-zero windows exercise).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiossl_tpu.models.audiontt import AudioNTT2020Task6
+
+B, F, T = 4, 8, 12
+
+
+def _models():
+    mk = lambda fused: AudioNTT2020Task6(
+        n_mels=F, d=32, return_all_layers=True, compute_dtype=jnp.float32, fused_block1=fused
+    )
+    return mk(False), mk(True)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ref, fused = _models()
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((B, F, T, 1)), jnp.float32)
+    variables = ref.init({"params": jax.random.key(0)}, x, True)
+    # identical parameter trees: the fused path's containers reuse the
+    # unfused module names (Conv_0 / BatchNorm_0)
+    v2 = fused.init({"params": jax.random.key(0)}, x, True)
+    chex_equal = jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)), variables, v2
+    )
+    del chex_equal
+    return ref, fused, x, variables
+
+
+def _apply(model, variables, x, train, key=0):
+    return model.apply(
+        variables, x, train,
+        mutable=["batch_stats"] if train else False,
+        rngs={"dropout": jax.random.key(key)} if train else None,
+    )
+
+
+def test_forward_and_stats_parity(setup):
+    ref, fused, x, variables = setup
+    (o_ref, stats_ref) = _apply(ref, variables, x, True)
+    (o_fused, stats_fused) = _apply(fused, variables, x, True)
+    for a, b in zip(jax.tree.leaves(o_ref), jax.tree.leaves(o_fused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5),
+        stats_ref, stats_fused,
+    )
+
+
+def test_eval_parity(setup):
+    ref, fused, x, variables = setup
+    # push the running stats away from init first
+    _, upd = _apply(ref, variables, x, True)
+    variables = {**variables, "batch_stats": upd["batch_stats"]}
+    a = _apply(ref, variables, x, False)
+    b = _apply(fused, variables, x, False)
+    for u, v in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=1e-5, rtol=1e-5)
+
+
+def test_op_eval_running_stats():
+    """fused_block1 with batch_stats_grad=False (running-stats mode) against
+    the plain composition — the module routes eval to XLA, so cover the
+    kernel's eval semantics at the op level."""
+    from flax import linen as nn
+
+    from audiossl_tpu.ops.block1 import block1_streams, fused_block1
+
+    c = 64
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 6, 8)), jnp.float32)
+    kernel = jnp.asarray(0.3 * rng.standard_normal((3, 3, 1, c)), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal((c,)), jnp.float32)
+    gamma = jnp.asarray(1 + 0.1 * rng.standard_normal((c,)), jnp.float32)
+    beta = jnp.asarray(0.1 * rng.standard_normal((c,)), jnp.float32)
+    mean = jnp.asarray(0.1 * rng.standard_normal((c,)), jnp.float32)
+    var = jnp.asarray(1 + 0.1 * rng.standard_normal((c,)), jnp.float32)
+
+    conv = nn.Conv(c, (3, 3), padding=1, use_bias=True)
+    y = conv.apply({"params": {"kernel": kernel, "bias": bias}}, x[..., None])
+    xh = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+    want = nn.max_pool(jnp.maximum(xh * gamma + beta, 0), (2, 2), (2, 2))
+
+    xe, xo, nv = block1_streams(x, 128)
+    got = fused_block1(
+        xe, xo, nv, kernel, bias, gamma, beta, mean, var, 8, False, None, 128, True
+    ).reshape(want.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+    # eval-mode grads: no batch-stat terms (k2 = k3 = 0)
+    def loss_f(g):
+        o = fused_block1(xe, xo, nv, kernel, bias, g, beta, mean, var, 8, False, None, 128, True)
+        return jnp.sum(o**2)
+
+    def loss_r(g):
+        xh = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+        return jnp.sum(nn.max_pool(jnp.maximum(xh * g + beta, 0), (2, 2), (2, 2)) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_f)(gamma)), np.asarray(jax.grad(loss_r)(gamma)),
+        atol=1e-4, rtol=1e-4,
+    )
+
+
+def test_grad_parity(setup):
+    ref, fused, x, variables = setup
+
+    def loss(params, model):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]}, x, True,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.key(1)},
+        )
+        t1, t2, t3, y = out
+        return jnp.sum(y**2) + jnp.sum(t1**2) + jnp.sum(t2**2) + jnp.sum(t3**2)
+
+    g_ref = jax.grad(loss)(variables["params"], ref)
+    g_fused = jax.grad(loss)(variables["params"], fused)
+    flat_r, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_f = jax.tree.leaves(g_fused)
+    for (path, a), b in zip(flat_r, flat_f):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_syncbn_grad_parity(setup):
+    """Under shard_map with axis_name: the custom vjp's psum'd batch-stat
+    terms must reproduce autodiff of the flax SyncBN path."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from audiossl_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    n = mesh.devices.size
+    mk = lambda fused: AudioNTT2020Task6(
+        n_mels=F, d=32, compute_dtype=jnp.float32, axis_name="data",
+        fused_block1=fused, dropout_rate=0.0,
+    )
+    ref, fused = mk(False), mk(True)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((2 * n, F, T, 1)), jnp.float32)
+    variables = jax.jit(lambda k: ref.init({"params": k}, x[:2], True))(jax.random.key(3))
+
+    def grads(model):
+        def local(params, xs):
+            def loss(p):
+                out, _ = model.apply(
+                    {"params": p, "batch_stats": variables["batch_stats"]}, xs, True,
+                    mutable=["batch_stats"],
+                )
+                return jnp.sum(out.astype(jnp.float32) ** 2) / out.size
+            g = jax.grad(loss)(params)
+            return jax.lax.pmean(g, "data")
+
+        fn = shard_map(
+            local, mesh=mesh, in_specs=(P(), P("data")), out_specs=P(), check_vma=False
+        )
+        return jax.jit(fn)(variables["params"], x)
+
+    g_ref, g_fused = grads(ref), grads(fused)
+    flat_r, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+    for (path, a), b in zip(flat_r, jax.tree.leaves(g_fused)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
