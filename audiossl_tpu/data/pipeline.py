@@ -120,8 +120,12 @@ class ManifestLoader:
             if self.drop_last
             else -(-len(order) // self.batch_size)
         )
-        host = self.host_shard[0] if self.host_shard else 0
-        rng = np.random.default_rng((self.seed, epoch, host))
+        # Mix the host rank into the stream seeds ONLY when host-sharded:
+        # single-host runs keep the original (seed, epoch[, b]) derivation,
+        # so pre-pod checkpoints resume onto bit-identical batch/window
+        # streams (ADVICE r2: determinism break across the pod-path commit).
+        host_key = [self.host_shard[0]] if self.host_shard else []
+        rng = np.random.default_rng((self.seed, epoch, *host_key))
 
         from audiossl_tpu.data import native
 
@@ -133,7 +137,9 @@ class ManifestLoader:
                 # C++ decode+window pool (data/_native/wavloader.cpp);
                 # SeedSequence mixes (seed, epoch, batch) collision-free
                 batch_seed = int(
-                    np.random.SeedSequence([self.seed, epoch, b, host]).generate_state(1)[0]
+                    np.random.SeedSequence(
+                        [self.seed, epoch, b, *host_key]
+                    ).generate_state(1)[0]
                 )
                 waves = native.load_batch(
                     [self.files[i] for i in idxs],

@@ -29,9 +29,22 @@ class DownstreamModel(nn.Module):
     input_tdim: int = 96  # frame count, needed by the transformer encoders
     model_size: str = "base"  # transformer variant (tiny | small | base)
     compute_dtype: jnp.dtype | None = None  # None = each encoder's default (bf16); f32 for exact serving parity
+    # PatchDrop ratio (reference src/augmentations/augmentations.py:64-79;
+    # intended call site src/encoder/mast.py:208-217, commented out there).
+    # Opt-in and AST-only: plain-ViT attention is permutation-safe over
+    # tokens, MViT's grid-pooled attention is not (the reference's commented
+    # draft would have broken its thw grid the same way).
+    patch_drop: float = 0.0
 
     @nn.compact
     def __call__(self, v: jax.Array, train: bool = False) -> jax.Array:
+        if self.patch_drop > 0.0 and self.encoder_type != "AST":
+            raise ValueError(
+                f"patch_drop is AST-only (plain-ViT tokens); {self.encoder_type!r} "
+                "uses grid-structured attention that cannot drop tokens "
+                "(the reference leaves it commented out there too, "
+                "src/encoder/mast.py:208-217)."
+            )
         if self.encoder_type == "AudioNTT2020Task6":
             enc = AudioNTT2020Task6(
                 n_mels=self.n_mels,
@@ -61,6 +74,8 @@ class DownstreamModel(nn.Module):
             h = ASTEncoder(
                 input_fdim=self.n_mels, input_tdim=self.input_tdim,
                 cfg=getattr(ASTConfig, self.model_size)(), name="encoder",
+                patch_drop=self.patch_drop,
+                **({"compute_dtype": self.compute_dtype} if self.compute_dtype is not None else {}),
             )(v, train)
         else:
             raise NotImplementedError(f"unknown downstream encoder {self.encoder_type!r}")

@@ -112,6 +112,7 @@ def run_downstream(config: dict[str, Any], args: dict[str, Any]):
         encoder_type=str(ds["base_encoder"].get("type", "AudioNTT2020Task6")),
         input_tdim=n_frames,
         model_size=str(ds["base_encoder"].get("model_size", "base")),
+        patch_drop=float(ds["base_encoder"].get("patch_drop", 0.0)),
     )
     dummy = jnp.zeros((2, mel_cfg.n_mels, n_frames, 1), jnp.float32)
     # jitted init: eager flax init of a transformer encoder is minutes of

@@ -120,10 +120,25 @@ class ASTEncoder(nn.Module):
     input_fdim: int = 128
     input_tdim: int = 1024
     cfg: ASTConfig = ASTConfig()
+    # None keeps the input's dtype (historical behavior); set f32/bf16 to
+    # force the trunk compute dtype regardless of the caller's input —
+    # serve/export.py --dtype relies on this being honored (ADVICE r2).
+    compute_dtype: jnp.dtype | None = None
+    # PatchDrop ratio (reference src/augmentations/augmentations.py:64-79,
+    # intended call site src/encoder/mast.py:208-217 — commented out there).
+    # Opt-in, train-only: after patchify + pos-embed, a random
+    # floor(N*(1-ratio)) subset of PATCH tokens is kept per sample; the cls
+    # and dist tokens always survive. Static keep-count keeps shapes
+    # jit-friendly. Plain-ViT attention is permutation-safe over tokens;
+    # MViT's grid-pooled attention is not, which is why MAST leaves this
+    # off (models/mast.py:51-55) exactly as the reference does.
+    patch_drop: float = 0.0
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         cfg = self.cfg
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
         x = jnp.swapaxes(x, 1, 2)  # time on H like the MAST patchify
         x = nn.Conv(
             cfg.embed_dim,
@@ -143,6 +158,15 @@ class ASTEncoder(nn.Module):
             [jnp.tile(cls, (b, 1, 1)), jnp.tile(dist, (b, 1, 1)), x], axis=1
         )
         x = x + pos
+
+        if self.patch_drop > 0.0 and train:
+            from audiossl_tpu.ops.tokens import patch_drop
+
+            # dedicated rng stream when provided, else fold out of "dropout"
+            # (the stream every trainer already threads)
+            stream = "patch_drop" if self.has_rng("patch_drop") else "dropout"
+            kept = patch_drop(x[:, 2:], self.make_rng(stream), self.patch_drop)
+            x = jnp.concatenate([x[:, :2], kept], axis=1)
 
         if cfg.fused_attention not in ("auto", "on", "off"):
             raise ValueError(f"fused_attention must be auto|on|off, got {cfg.fused_attention!r}")

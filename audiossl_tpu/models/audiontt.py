@@ -139,11 +139,22 @@ class ConvBlock(nn.Module):
     fused: bool = False  # C_in=1 fused Pallas block (ops/block1.py)
     fused_interpret: bool = False  # pallas interpret mode (CPU tests)
     fused_rt: int = 512  # forward kernel row tile (backward clamps to BWD_RT)
+    # The fused kernel does NOT compute the input cotangent (ops/block1.py
+    # returns zeros). Callers must acknowledge that no trainable parameters
+    # sit upstream of this block; otherwise their gradients would silently
+    # vanish. AudioNTT sets this (its input is the raw spectrogram view).
+    fused_dead_input_grad_ok: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         dtype = x.dtype
         if self.fused and train:
+            if not self.fused_dead_input_grad_ok:
+                raise ValueError(
+                    "ConvBlock(fused=True) drops the input gradient (zeros "
+                    "cotangent, ops/block1.py). Set fused_dead_input_grad_ok="
+                    "True only if nothing trainable feeds this block."
+                )
             from audiossl_tpu.ops.block1 import (
                 block1_batch_stats, block1_streams, fused_block1,
             )
@@ -231,6 +242,8 @@ class AudioNTT2020Task6(nn.Module):
                 axis_name=self.axis_name,
                 fused=use_fused and i == 0,
                 fused_interpret=not on_tpu,
+                # block-1 input is the (non-trainable) spectrogram view
+                fused_dead_input_grad_ok=True,
             )(x, train)
             taps.append(_time_tap(x))
 

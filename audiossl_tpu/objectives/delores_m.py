@@ -27,6 +27,23 @@ from audiossl_tpu.objectives.api import LossAux, register
 from audiossl_tpu.ops.stats import l2_normalize
 
 
+def _parse_scale(scale: Any) -> float:
+    """Parse loss_scale config values like 1/32 or "1/32" without eval().
+
+    The reference YAML writes the Barlow loss scale as a bare fraction string
+    (src/upstream/delores_m/config.yaml `loss_scale`); accept "a/b" and plain
+    numerics, reject anything else loudly.
+    """
+    if isinstance(scale, str):
+        from fractions import Fraction
+
+        try:
+            return float(Fraction(scale.strip()))
+        except (ValueError, ZeroDivisionError) as e:
+            raise ValueError(f"loss_scale must be a number or 'a/b' fraction, got {scale!r}") from e
+    return float(scale)
+
+
 class MocoState(NamedTuple):
     params_k: Any  # momentum copy of the encoder params
     batch_stats_k: Any  # key-encoder BN stats (evolve via key forwards only)
@@ -115,7 +132,7 @@ class DeloresM:
         lambdas = pre.get("lambda_barlow", [5e-5] * 3)
         self.lambdas = [float(l) for l in lambdas]
         scale = pre.get("loss_scale", "1/32")
-        self.scale_loss = eval(scale) if isinstance(scale, str) else float(scale)  # noqa: S307 — trusted config literal like "1/32"
+        self.scale_loss = _parse_scale(scale)
         self.tap_dims = (2048, 1024, 512)
         self.encoder = EncoderM(
             n_mels=int(pre["input"]["n_mels"]),

@@ -115,11 +115,17 @@ def load_raw(ckpt_dir: str, step: int, kind: str = "encoder") -> Any:
     with ocp.StandardCheckpointer() as ckptr:
         try:
             return ckptr.restore(path)
-        except ValueError:
+        except ValueError as e:
             # Saved on a different device set than this process has (e.g. an
             # 8-device pod checkpoint opened by a 1-chip export/serving job):
             # orbax refuses to reuse the recorded shardings, so rebuild the
-            # tree from stored metadata and restore fully local.
+            # tree from stored metadata and restore fully local. Only the
+            # device/sharding-mismatch ValueError gets this fallback —
+            # anything else (corrupt file, dtype mismatch) must propagate
+            # rather than be masked by a second confusing failure.
+            msg = str(e).lower()
+            if not any(k in msg for k in ("device", "sharding", "mesh")):
+                raise
             sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
             meta = ckptr.metadata(path)
             tree = getattr(meta, "item_metadata", meta)

@@ -177,3 +177,18 @@ def test_syncbn_grad_parity(setup):
             np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_fused_requires_dead_input_grad_ack():
+    """ConvBlock(fused=True) must fail loudly unless the caller acknowledges
+    the dropped input cotangent (ADVICE r2: silent-vanishing upstream grads)."""
+    from audiossl_tpu.models.audiontt import ConvBlock
+
+    x = jnp.ones((2, 8, F), jnp.float32)
+    blk = ConvBlock(features=16, fused=True, fused_interpret=True)
+    with pytest.raises(ValueError, match="input gradient"):
+        blk.init({"params": jax.random.key(0)}, x, True)
+    ok = ConvBlock(
+        features=16, fused=True, fused_interpret=True, fused_dead_input_grad_ok=True
+    )
+    ok.init({"params": jax.random.key(0)}, x, True)  # no raise

@@ -165,3 +165,18 @@ def test_one_train_step(name):
         # momentum params moved toward query params
         pk = jax.tree.leaves(state.ssl_state.params_k)[0]
         assert np.isfinite(np.asarray(pk)).all()
+
+
+def test_parse_scale_forms():
+    """loss_scale accepts 'a/b' fractions and plain numerics without eval()
+    (reference config writes the Barlow scale as the string '1/32')."""
+    from audiossl_tpu.objectives.delores_m import _parse_scale
+
+    assert _parse_scale("1/32") == 1.0 / 32.0
+    assert _parse_scale(" 3/4 ") == 0.75
+    assert _parse_scale(0.5) == 0.5
+    assert _parse_scale("0.125") == 0.125
+    with pytest.raises(ValueError):
+        _parse_scale("__import__('os')")
+    with pytest.raises(ValueError):
+        _parse_scale("1/0")

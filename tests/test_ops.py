@@ -200,3 +200,52 @@ class TestBandedConv1:
         ref = ref_model.apply(ref_vars, x)
         for a, b in zip(ours, ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+class TestPatchDropWiring:
+    """pretrain/downstream `patch_drop` opt-in on the AST token stream
+    (reference augmentations.py:64-79; intended call site mast.py:208-217)."""
+
+    def _model(self, ratio):
+        from audiossl_tpu.models.ast import ASTConfig, ASTEncoder
+
+        cfg = ASTConfig.tiny()
+        return ASTEncoder(input_fdim=48, input_tdim=64, cfg=cfg, patch_drop=ratio)
+
+    def test_shape_and_grad_flow(self):
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 48, 64, 1)), jnp.float32)
+        m = self._model(0.5)
+        v = m.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x, True)
+
+        def loss(p, key):
+            out = m.apply({"params": p}, x, True, rngs={"dropout": key})
+            return jnp.sum(out**2)
+
+        g = jax.grad(loss)(v["params"], jax.random.key(2))
+        # gradients flow through the kept tokens into every parameter group
+        leaves = jax.tree.leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        norms = [float(jnp.linalg.norm(l)) for l in leaves]
+        assert sum(n > 0 for n in norms) >= len(norms) - 2  # pos_embed rows dropped may zero a couple
+
+        # eval mode never drops (train-only) and matches the ratio=0 model
+        out_eval = m.apply({"params": v["params"]}, x, False)
+        m0 = self._model(0.0)
+        out0 = m0.apply({"params": v["params"]}, x, False)
+        np.testing.assert_allclose(np.asarray(out_eval), np.asarray(out0), rtol=1e-6)
+
+    def test_token_count_is_static_floor(self):
+        from audiossl_tpu.ops.tokens import patch_drop
+
+        x = jnp.ones((3, 10, 4))
+        y = patch_drop(x, jax.random.key(0), 0.25)
+        assert y.shape == (3, 7, 4)  # floor(10 * 0.75)
+
+    def test_non_ast_encoder_rejects(self):
+        from audiossl_tpu.downstream.model import DownstreamModel
+
+        m = DownstreamModel(n_mels=48, d=64, num_classes=3, encoder_type="MAST",
+                            input_tdim=64, model_size="tiny", patch_drop=0.5)
+        x = jnp.zeros((1, 48, 64, 1), jnp.float32)
+        with pytest.raises(ValueError, match="AST-only"):
+            m.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x, True)
