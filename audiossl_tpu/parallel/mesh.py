@@ -48,6 +48,32 @@ def shard_batch(mesh: Mesh, batch, axis: str = DATA_AXIS):
     return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
 
 
+def host_to_mesh(mesh: Mesh, tree, spec: P = P()):
+    """Place host-replicated arrays onto the (possibly multi-host) mesh.
+
+    Single-host: plain device_put. Multi-host pod: device_put rejects
+    shardings spanning non-addressable devices, so the global array is
+    assembled from per-host callbacks — valid because every process holds
+    the same full array (identically seeded init / identically derived
+    state). PRNG key arrays are unwrapped to their raw data and re-wrapped
+    (make_array_from_callback takes plain dtypes only).
+    """
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+    import jax.numpy as jnp
+
+    def put(a):
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jax.dtypes.prng_key):
+            impl = jax.random.key_impl(a)
+            data = np.asarray(jax.random.key_data(a))
+            raw = jax.make_array_from_callback(data.shape, sharding, lambda idx: data[idx])
+            return jax.random.wrap_key_data(raw, impl=impl)
+        a = np.asarray(a)
+        return jax.make_array_from_callback(a.shape, sharding, lambda idx: a[idx])
+
+    return jax.tree.map(put, tree)
+
+
 def replicate(mesh: Mesh, tree):
-    sharding = replicated(mesh)
-    return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+    return host_to_mesh(mesh, tree, P())

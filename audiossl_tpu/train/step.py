@@ -156,7 +156,13 @@ def make_train_step(
 
     if labeled:
         return train_step
-    return lambda state, waves, labels=None: train_step(state, waves, None)
+
+    def unlabeled_step(state: TrainState, waves: jax.Array, labels=None):
+        return train_step(state, waves, None)
+
+    # expose the underlying jit for AOT lowering / cost analysis (bench MFU)
+    unlabeled_step.jitted = train_step
+    return unlabeled_step
 
 
 def init_train_state(
@@ -202,15 +208,12 @@ def init_train_state(
         aug_state=aug_state,
         rng=k_rng,
     )
-    # Place on the mesh: aug state sharded along 'data', everything replicated.
-    from jax.sharding import NamedSharding
+    # Place on the mesh: aug state sharded along 'data', everything
+    # replicated (multi-host-safe — parallel/mesh.py:host_to_mesh).
+    from audiossl_tpu.parallel.mesh import host_to_mesh
 
-    repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P(DATA_AXIS))
-    state = jax.tree.map(
-        lambda a: jax.device_put(a, repl), state._replace(aug_state=None, opt_state=None)
-    )._replace(
-        aug_state=jax.tree.map(lambda a: jax.device_put(a, shard), aug_state),
-        opt_state=jax.tree.map(lambda a: jax.device_put(a, shard if zero else repl), opt_state),
+    state = host_to_mesh(mesh, state._replace(aug_state=None, opt_state=None), P())._replace(
+        aug_state=host_to_mesh(mesh, aug_state, P(DATA_AXIS)),
+        opt_state=host_to_mesh(mesh, opt_state, P(DATA_AXIS) if zero else P()),
     )
     return state
