@@ -60,6 +60,32 @@ def audiontt_to_torch(variables: Mapping[str, Any]) -> dict[str, np.ndarray]:
     return sd
 
 
+def projection_to_torch(
+    params: Mapping[str, Any], batch_stats: Mapping[str, Any]
+) -> dict[str, np.ndarray]:
+    """``models.heads.MLPProjector`` variables -> the reference Barlow
+    ``Projection`` state_dict (src/upstream/delores_s/upstream_expert.py:11-28:
+    projector.{0,3,6} bias-free Linears, projector.{1,4} BatchNorm1d, plus
+    the affine-free normalization ``bn``). With the encoder export this makes
+    the full DeLoRes-S trainer state reference-loadable
+    (tests/test_reference_equiv.py runs both trainers from these weights)."""
+    sd: dict[str, np.ndarray] = {}
+    for dense_idx, torch_idx in ((0, 0), (1, 3), (2, 6)):
+        sd[f"projector.{torch_idx}.weight"] = _linear(params[f"Dense_{dense_idx}"]["kernel"])
+    for bn_idx, torch_idx in ((0, 1), (1, 4)):
+        p, s = params[f"BatchNorm_{bn_idx}"], batch_stats[f"BatchNorm_{bn_idx}"]
+        sd[f"projector.{torch_idx}.weight"] = _np(p["scale"])
+        sd[f"projector.{torch_idx}.bias"] = _np(p["bias"])
+        sd[f"projector.{torch_idx}.running_mean"] = _np(s["mean"])
+        sd[f"projector.{torch_idx}.running_var"] = _np(s["var"])
+        sd[f"projector.{torch_idx}.num_batches_tracked"] = np.zeros((), np.int64)
+    out_dim = params["Dense_2"]["kernel"].shape[1]
+    sd["bn.running_mean"] = np.zeros((out_dim,), np.float32)
+    sd["bn.running_var"] = np.ones((out_dim,), np.float32)
+    sd["bn.num_batches_tracked"] = np.zeros((), np.int64)
+    return sd
+
+
 def _merge_heads_out(k: np.ndarray) -> np.ndarray:
     """flax q/k/v kernel [D_in, H, Dh] -> torch [D_out, D_in] (head-major)."""
     d_in, h, dh = k.shape

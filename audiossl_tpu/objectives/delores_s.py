@@ -25,9 +25,14 @@ class _Net(nn.Module):
     projection_dim: int
     axis_name: str | None
     encoder_type: str = "AudioNTT2020Task6"
+    # f32 override for exact-parity runs vs the reference trainer
+    # (tests/test_reference_equiv.py); bf16 stays the TPU training default
+    compute_dtype: Any = None
+    dropout_rate: float | None = None
 
     @nn.compact
     def __call__(self, v: jax.Array, train: bool) -> jax.Array:
+        dtype_kw = {"compute_dtype": self.compute_dtype} if self.compute_dtype is not None else {}
         if self.encoder_type == "Efficient_Net":
             # EfficientNet-Barlow variant (extras/delores-s/models.py:7-40):
             # pooled 1280-d features straight into the projector
@@ -35,13 +40,20 @@ class _Net(nn.Module):
 
             y = EfficientNetB0(axis_name=self.axis_name, name="encoder")(v, train)
         elif self.encoder_type == "AudioNTT2020Task6":
-            enc = AudioNTT2020Task6(n_mels=self.n_mels, d=self.d, axis_name=self.axis_name, name="encoder")
+            enc = AudioNTT2020Task6(
+                n_mels=self.n_mels, d=self.d, axis_name=self.axis_name, name="encoder",
+                **dtype_kw,
+                **({"dropout_rate": self.dropout_rate} if self.dropout_rate is not None else {}),
+            )
             y = max_mean_pool(enc(v, train))
         else:
             raise NotImplementedError(
                 f"DeLoRes-S supports AudioNTT2020Task6 | Efficient_Net, got {self.encoder_type!r}"
             )
-        proj = MLPProjector(hidden=self.projection_dim, out=self.projection_dim, axis_name=self.axis_name, name="projector")
+        proj = MLPProjector(
+            hidden=self.projection_dim, out=self.projection_dim,
+            axis_name=self.axis_name, name="projector", **dtype_kw,
+        )
         return proj(y, train)
 
 
@@ -52,12 +64,17 @@ class DeloresS:
         self.lambd = float(pre.get("lambda_barlow", 5e-5) or 0.0)
         self.scale_loss = 1.0 / 32.0
         self.axis_name = axis_name
+        enc_cfg = pre["base_encoder"]
+        import jax.numpy as jnp
+
         self.net = _Net(
             n_mels=int(pre["input"]["n_mels"]),
-            d=int(pre["base_encoder"]["output_dim"]),
+            d=int(enc_cfg["output_dim"]),
             projection_dim=int(pre.get("projection_dim", 2048)),
             axis_name=axis_name,
-            encoder_type=str(pre["base_encoder"].get("type", "AudioNTT2020Task6")),
+            encoder_type=str(enc_cfg.get("type", "AudioNTT2020Task6")),
+            compute_dtype=jnp.dtype(enc_cfg["compute_dtype"]) if enc_cfg.get("compute_dtype") else None,
+            dropout_rate=float(enc_cfg["dropout"]) if enc_cfg.get("dropout") is not None else None,
         )
 
     def init(self, key: jax.Array, sample_views):

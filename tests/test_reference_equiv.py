@@ -1,0 +1,251 @@
+"""Whole-trainer equivalence vs the ACTUAL reference implementation.
+
+VERDICT r2 item 2: every loss here is oracle-tested as a function, but
+accuracy parity needs trainer-level evidence. This test imports the
+reference's DeLoRes-S trainer (/root/reference/src/upstream/delores_s/
+upstream_expert.py:191-243) and runs it — real `training_step`, real torch
+SGD — side-by-side with our `DeloresS` objective for 48 steps:
+
+  * identical weights (our flax init transplanted with
+    models/torch_export.py, the same bridge users get);
+  * identical synthetic log-mel view pairs every step (augmentations
+    bypassed — they are independently oracle-tested; this isolates
+    encoder+projector+loss+optimizer dynamics);
+  * matched SGD (lr .03, momentum .9, wd 1e-4 — configure_optimizers
+    defaults, upstream_expert.py:236-243) with dropout disabled on both
+    sides (the only stochastic element; BN batch stats stay live);
+  * f32 on both sides (`pretrain.base_encoder.compute_dtype` override).
+
+Asserts the 48-step loss trajectories agree and that identical linear
+probes on the two final encoders (eval mode, running BN stats) classify
+held-out separable data identically.
+
+Reference import shims (test-only, SURVEY.md §2.5): a minimal
+pytorch_lightning.LightningModule stand-in (lightning is not installed
+here; only save_hyperparameters/log_dict are touched) and an empty librosa
+module (src.utils imports it at module level; no librosa code runs). The
+reference encoder class is loaded from its file directly because
+src/encoder/__init__.py imports timm at module level.
+"""
+import importlib.util
+import inspect
+import os
+import sys
+import types
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "src")), reason="reference checkout not present"
+)
+
+
+def _install_reference(monkeypatch):
+    import torch
+
+    if "pytorch_lightning" not in sys.modules:
+        pl = types.ModuleType("pytorch_lightning")
+
+        class LightningModule(torch.nn.Module):
+            def save_hyperparameters(self, *a, **k):
+                frame = inspect.currentframe().f_back
+                hp = {
+                    name: v
+                    for name, v in frame.f_locals.items()
+                    if name not in ("self", "args", "kwargs", "__class__")
+                }
+                object.__setattr__(self, "hparams", SimpleNamespace(**hp))
+
+            def log_dict(self, *a, **k):
+                pass
+
+        pl.LightningModule = LightningModule
+        monkeypatch.setitem(sys.modules, "pytorch_lightning", pl)
+    try:
+        import librosa  # noqa: F401
+    except ImportError:
+        monkeypatch.setitem(sys.modules, "librosa", types.ModuleType("librosa"))
+    if REFERENCE not in sys.path:
+        monkeypatch.syspath_prepend(REFERENCE)
+
+
+def _load_reference_audiontt():
+    """src/encoder/audiontt.py loaded standalone (the package __init__ pulls
+    in timm via the MAST encoder)."""
+    spec = importlib.util.spec_from_file_location(
+        "ref_audiontt", os.path.join(REFERENCE, "src", "encoder", "audiontt.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.AudioNTT2020Task6
+
+
+def _config():
+    from audiossl_tpu.config import load_config
+
+    config = load_config(None, "delores_s")
+    config["pretrain"]["lambda_barlow"] = float(config["pretrain"]["lambda_barlow"])
+    # exact-parity knobs: f32 compute, dropout off (both sides)
+    config["pretrain"]["base_encoder"]["compute_dtype"] = "float32"
+    config["pretrain"]["base_encoder"]["dropout"] = 0.0
+    return config
+
+
+def _view_batches(n_batches: int, batch: int, n_mels: int = 64, frames: int = 96):
+    """Deterministic augmented-pair stand-ins: view2 = view1 + small noise,
+    standardized like mean_var-normalized log-mels."""
+    rng = np.random.default_rng(7)
+    out = []
+    for _ in range(n_batches):
+        base = rng.standard_normal((batch, n_mels, frames)).astype(np.float32)
+        noise = 0.3 * rng.standard_normal((batch, n_mels, frames)).astype(np.float32)
+        out.append((base, (base + noise).astype(np.float32)))
+    return out
+
+
+def _probe_batches(n_classes: int, per_class: int, n_mels: int = 64, frames: int = 96):
+    """Separable eval data: class-dependent mel-band energy bumps."""
+    rng = np.random.default_rng(11)
+    xs, ys = [], []
+    for c in range(n_classes):
+        x = 0.5 * rng.standard_normal((per_class, n_mels, frames)).astype(np.float32)
+        band = slice(c * (n_mels // n_classes), (c + 1) * (n_mels // n_classes))
+        x[:, band, :] += 2.0
+        xs.append(x)
+        ys.append(np.full((per_class,), c, np.int64))
+    x, y = np.concatenate(xs), np.concatenate(ys)
+    order = rng.permutation(len(y))
+    return x[order], y[order]
+
+
+def _dual_ridge_probe(train_x, train_y, test_x, test_y, lam=1e-2):
+    """Closed-form (deterministic) linear probe in the dual: identical
+    procedure applied to both frameworks' embeddings."""
+    y = np.eye(train_y.max() + 1)[train_y]
+    k = train_x @ train_x.T
+    alpha = np.linalg.solve(k + lam * np.eye(len(train_x)), y)
+    pred = (test_x @ train_x.T) @ alpha
+    return float((pred.argmax(1) == test_y).mean())
+
+
+@pytest.mark.slow
+def test_delores_s_trainer_matches_reference(monkeypatch):
+    import torch
+
+    _install_reference(monkeypatch)
+    from src.upstream.delores_s.upstream_expert import Upstream_Expert
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from audiossl_tpu.models.audiontt import AudioNTT2020Task6, max_mean_pool
+    from audiossl_tpu.models.torch_export import audiontt_to_torch, projection_to_torch
+    from audiossl_tpu.objectives.delores_s import DeloresS
+    from audiossl_tpu.train.optim import sgd_torch
+
+    config = _config()
+    n_steps, batch = 48, 32
+    batches = _view_batches(6, batch)
+
+    # ---- our trainer --------------------------------------------------
+    obj = DeloresS(config, axis_name=None)
+    dummy = jnp.zeros((batch, 64, 96, 1), jnp.float32)
+    params, batch_stats, _ = obj.init(jax.random.key(0), (dummy, dummy))
+    tx = sgd_torch(0.03, momentum=0.9, weight_decay=1e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, v1, v2):
+        def loss_fn(p):
+            return obj.loss(p, batch_stats, (), (v1, v2), jax.random.key(1), True, None)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), aux.batch_stats, opt_state, loss
+
+    # ---- the reference trainer, from the SAME weights ------------------
+    expert = Upstream_Expert(config, _load_reference_audiontt())
+    enc_sd = audiontt_to_torch(
+        {"params": params["encoder"], "batch_stats": batch_stats["encoder"]}
+    )
+    expert.encoder.encoder.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in enc_sd.items()}, strict=True
+    )
+    proj_sd = projection_to_torch(params["projector"], batch_stats["projector"])
+    expert.p.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in proj_sd.items()}, strict=True
+    )
+    for m in expert.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    expert.trainer = SimpleNamespace(datamodule=SimpleNamespace(name="audio"))
+    expert.train()
+    opt = torch.optim.SGD(expert.parameters(), lr=0.03, momentum=0.9, weight_decay=1e-4)
+
+    ours, ref = [], []
+    for i in range(n_steps):
+        v1, v2 = batches[i % len(batches)]
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state,
+            jnp.asarray(v1)[..., None], jnp.asarray(v2)[..., None],
+        )
+        ours.append(float(loss))
+
+        t1 = torch.from_numpy(v1[:, None])  # [B, 1, F, T]
+        t2 = torch.from_numpy(v2[:, None])
+        tloss = expert.training_step((t1, t2), i)  # the real reference step
+        opt.zero_grad()
+        tloss.backward()
+        opt.step()
+        ref.append(float(tloss))
+
+    ours, ref = np.asarray(ours), np.asarray(ref)
+    rel = np.abs(ours - ref) / np.maximum(np.abs(ref), 1e-12)
+    # trajectory of record for PARITY.md (run with -s to see)
+    for i in (0, 1, 2, 11, 23, 35, 47):
+        print(f"step {i:2d}: ours {ours[i]:.4f}  ref {ref[i]:.4f}  rel {rel[i]:.2e}")
+    print(f"max rel dev over {n_steps} steps: {rel.max():.2e} at step {rel.argmax()}")
+    # step 0 is pure transplant fidelity; later steps accumulate f32
+    # op-ordering drift between XLA and torch
+    assert rel[0] < 1e-4, (ours[0], ref[0])
+    assert rel.max() < 2e-2, (rel.max(), rel.argmax())
+    assert ref[-1] < ref[0] and ours[-1] < ours[0]  # both actually trained
+
+    # ---- linear probe on the two final encoders -----------------------
+    px, py = _probe_batches(4, 24)
+    n_train = 64
+    enc = AudioNTT2020Task6(n_mels=64, d=2048, compute_dtype=jnp.float32)
+
+    @jax.jit
+    def embed_ours(x):
+        return max_mean_pool(
+            enc.apply(
+                {"params": params["encoder"], "batch_stats": batch_stats["encoder"]},
+                x[..., None], False,
+            )
+        )
+
+    emb_j = np.asarray(embed_ours(jnp.asarray(px)))
+    expert.eval()
+    with torch.no_grad():
+        emb_t = expert.encoder(torch.from_numpy(px[:, None])).numpy()
+
+    # the pooled eval embeddings must still agree: step-0 transplant
+    # fidelity is 1e-4, but 48 steps of XLA-vs-torch op-ordering drift
+    # compound through the weights AND the BN running stats the eval
+    # forward uses, so post-training embeddings sit at the few-e-2 level
+    # (measured 3.1e-2) — same order as the late-step loss deviation.
+    scale = np.abs(emb_t).max()
+    emb_rel = np.abs(emb_j - emb_t).max() / scale
+    print(f"post-training eval embedding max rel diff: {emb_rel:.2e}")
+    assert emb_rel < 5e-2, emb_rel
+
+    acc_ours = _dual_ridge_probe(emb_j[:n_train], py[:n_train], emb_j[n_train:], py[n_train:])
+    acc_ref = _dual_ridge_probe(emb_t[:n_train], py[:n_train], emb_t[n_train:], py[n_train:])
+    assert acc_ours == acc_ref, (acc_ours, acc_ref)
+    assert acc_ours > 0.9, acc_ours  # the probe task is separable
