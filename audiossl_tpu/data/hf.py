@@ -3,10 +3,13 @@
 Rebuilds DownstreamDatasetHF (src/dataset/downstream_dataset.py:13-63) +
 the availability map (src/utils/utils.py:31-41): speech_commands variants
 load via `datasets.load_dataset('speech_commands', 'v0.01'|'v0.02')`; the
-v2-35 variant re-labels to the 35-word vocabulary. Requires the dataset in
-the local HF cache when the environment has no egress.
+v2-35 variant re-labels to the 35-word vocabulary. Offline environments
+(no egress) point ``data_dir`` / ``AUDIOSSL_HF_DATA_DIR`` at a
+``datasets.save_to_disk`` directory instead (see data/make_hf_fixture.py).
 """
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -32,11 +35,21 @@ class HFLoader:
         shuffle: bool = False,
         drop_last: bool = False,
         seed: int = 0,
+        data_dir: str | None = None,
     ):
-        from datasets import load_dataset  # local HF cache or network
-
         version = HF_TASKS[task]
-        self.dataset = load_dataset("speech_commands", version, split=split)
+        data_dir = data_dir or os.environ.get("AUDIOSSL_HF_DATA_DIR")
+        if data_dir:  # offline save_to_disk directory (make_hf_fixture.py)
+            from datasets import load_from_disk
+
+            splits = load_from_disk(data_dir)
+            if split not in splits:
+                raise ValueError(f"split {split!r} not in offline dataset {data_dir}")
+            self.dataset = splits[split]
+        else:
+            from datasets import load_dataset  # local HF cache or network
+
+            self.dataset = load_dataset("speech_commands", version, split=split)
         names = self.dataset.features["label"].names
         self.label_to_id = {n: i for i, n in enumerate(names)}
         self.no_of_classes = len(names)
