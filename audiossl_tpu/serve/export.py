@@ -57,12 +57,45 @@ def _portable_features(frontend, waves: jax.Array) -> jax.Array:
     )
 
 
+def _native_features(frontend, waves: jax.Array) -> jax.Array:
+    """[b, L] -> [b, F, T] with the TPU Pallas frontend kernels — the same
+    dispatch training uses (frontend/__init__.py). The resulting artifact
+    carries `tpu_custom_call`s, so it is TPU-only; serve with
+    ``--frontend native`` when the fleet is all-TPU and serving is
+    frontend-bound (PERF.md: the ct2 kernel is ~2.9x the XLA log-mel)."""
+    import math
+
+    from audiossl_tpu.frontend import FrontendSpec
+    from audiossl_tpu.frontend.stft import LogMelConfig
+
+    if isinstance(frontend, FrontendSpec) and frontend.kind == "fbank":
+        # XLA is the measured-faster fbank path even on TPU (PERF.md);
+        # native == portable here
+        return _portable_features(frontend, waves)
+    cfg = (
+        frontend
+        if isinstance(frontend, LogMelConfig)
+        else LogMelConfig(sample_rate=frontend.sample_rate, n_mels=frontend.n_mels)
+    )
+    if cfg.n_fft % 256 == 0 and (
+        cfg.hop % 128 == 0 or 128 // math.gcd(cfg.hop % 128, 128) <= 8
+    ):
+        from audiossl_tpu.frontend.pallas_stft import log_mel_fused_ct2
+
+        return log_mel_fused_ct2(waves, cfg)
+    from audiossl_tpu.frontend.pallas_stft import log_mel_fused_ct
+
+    return log_mel_fused_ct(waves, cfg)
+
+
 def export_embedder(
     variables: Any,
     model,
     frontend,
     clip_samples: int,
     platforms: Sequence[str] = ("tpu", "cpu"),
+    frontend_impl: str = "portable",
+    batch: int = 256,
 ) -> jex.Exported:
     """Lower ``waves [b, clip_samples] f32 -> embedding [b, D]`` to StableHLO.
 
@@ -73,15 +106,31 @@ def export_embedder(
     ``num_classes=0``); ``frontend`` is a LogMelConfig or FrontendSpec (the
     fbank kind serves the MAST/AST family), and it runs inside the exported
     program, so the artifact's input really is raw audio.
+
+    ``frontend_impl='native'`` embeds the Pallas ct2 frontend kernel instead
+    of the portable XLA log-mel — a TPU-only artifact (platforms forced to
+    ('tpu',)) for frontend-bound serving; must be exported from a
+    TPU-attached process (Mosaic lowers at export). Pallas grids need
+    concrete shapes, so the native artifact is exported at the fixed
+    ``batch`` size (ServingEncoder pads/chunks requests to it) instead of a
+    symbolic one.
     """
+    if frontend_impl == "native":
+        platforms = ("tpu",)
 
     def infer(waves: jax.Array) -> jax.Array:
-        feats = _portable_features(frontend, waves)[:, :, :, None]
+        feat_fn = _native_features if frontend_impl == "native" else _portable_features
+        feats = feat_fn(frontend, waves)[:, :, :, None]
         return model.apply(variables, feats, False)
 
-    (b,) = jex.symbolic_shape("b")
+    if frontend_impl == "native":
+        b: Any = batch
+        checks = [jex.DisabledSafetyCheck.custom_call("tpu_custom_call")]
+    else:
+        (b,) = jex.symbolic_shape("b")
+        checks = []
     spec = jax.ShapeDtypeStruct((b, clip_samples), jnp.float32)
-    return jex.export(jax.jit(infer), platforms=list(platforms))(spec)
+    return jex.export(jax.jit(infer), platforms=list(platforms), disabled_checks=checks)(spec)
 
 
 def save_artifact(exported: jex.Exported, path: str) -> None:
@@ -107,6 +156,10 @@ class ServingEncoder:
         self.exported = exported
         self.bucket = bucket
         self.clip_samples = int(exported.in_avals[0].shape[1])
+        # native (Pallas-frontend) artifacts are exported at a fixed batch;
+        # requests get padded up / chunked to that size
+        b = exported.in_avals[0].shape[0]
+        self.fixed_batch = int(b) if isinstance(b, int) else None
         self._call = jax.jit(exported.call)
 
     @classmethod
@@ -116,6 +169,15 @@ class ServingEncoder:
     def __call__(self, waves: np.ndarray) -> np.ndarray:
         waves = np.asarray(waves, np.float32)
         n = waves.shape[0]
+        if self.fixed_batch:
+            fb = self.fixed_batch
+            if n % fb:
+                waves = np.pad(waves, ((0, fb - n % fb), (0, 0)))
+            chunks = [
+                np.asarray(self._call(jnp.asarray(waves[i : i + fb])))
+                for i in range(0, waves.shape[0], fb)
+            ]
+            return np.concatenate(chunks)[:n]
         if self.bucket and n % self.bucket:
             waves = np.pad(waves, ((0, self.bucket - n % self.bucket), (0, 0)))
         out = self._call(jnp.asarray(waves))
@@ -173,6 +235,8 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--out", help="artifact path to write (.jexp)")
     p.add_argument("--clip_samples", type=int, default=None, help="input length (defaults to the config's length_wave)")
     p.add_argument("--platforms", default="tpu,cpu", help="comma-separated lowering targets")
+    p.add_argument("--frontend", choices=("portable", "native"), default="portable",
+                   help="'native' bakes the Pallas ct2 frontend kernel in (TPU-only artifact)")
     p.add_argument("--dtype", choices=("default", "f32", "bf16"), default="default",
                    help="encoder compute dtype (default = encoder's own, usually bf16)")
     p.add_argument("--artifact", help="existing artifact for --selftest")
@@ -192,7 +256,8 @@ def main(argv: list[str] | None = None) -> None:
         args.checkpoint, args.clip_samples, args.dtype
     )
     exp = export_embedder(
-        variables, model, frontend, clip, platforms=tuple(args.platforms.split(","))
+        variables, model, frontend, clip,
+        platforms=tuple(args.platforms.split(",")), frontend_impl=args.frontend,
     )
     save_artifact(exp, args.out)
     log.info(

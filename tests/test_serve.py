@@ -155,3 +155,36 @@ class TestExportCLI:
         lms = log_mel(jnp.asarray(waves), mel_cfg)[:, :, :, None]
         want = np.asarray(model.apply(variables, lms, False))
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("AUDIOSSL_TEST_TPU"), reason="native artifact needs the TPU (Mosaic lowers at export)"
+)
+class TestNativeFrontendArtifact:
+    """`--frontend native` bakes the Pallas ct2 log-mel kernel into a
+    TPU-only artifact at a fixed batch (VERDICT r2 item 10). Measured on
+    v5e: 60.1k -> 99.4k clips/s at B=256 vs the portable artifact when
+    serving the AudioNTT embedder (PERF.md)."""
+
+    def test_cold_deserialize_parity_vs_portable(self, tmp_path):
+        model, variables, mel_cfg = _tiny_model_and_vars()
+        p_path = os.path.join(tmp_path, "p.jexp")
+        n_path = os.path.join(tmp_path, "n.jexp")
+        save_artifact(export_embedder(variables, model, mel_cfg, CLIP), p_path)
+        exp_n = export_embedder(
+            variables, model, mel_cfg, CLIP, frontend_impl="native", batch=8
+        )
+        assert exp_n.platforms == ("tpu",)
+        save_artifact(exp_n, n_path)
+        # cold deserialize both; a 13-clip request exercises the fixed-batch
+        # pad + chunk path (8 + 5)
+        enc_p = ServingEncoder.load(p_path)
+        enc_n = ServingEncoder.load(n_path)
+        assert enc_n.fixed_batch == 8 and enc_p.fixed_batch is None
+        waves = (0.3 * RNG.standard_normal((13, CLIP))).astype(np.float32)
+        a, b = enc_p(waves), enc_n(waves)
+        assert a.shape == b.shape == (13, 64)
+        scale = np.abs(a).max()
+        # the ct2 kernel holds the same 1e-3 librosa contract as the XLA
+        # log-mel; embeddings through a 64-d encoder stay within ~1e-3
+        assert np.abs(a - b).max() / scale < 2e-3
