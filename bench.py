@@ -67,9 +67,43 @@ def measure_tpu() -> float:
     return BATCH / dt
 
 
-def measure_train_step(batch: int = 256, iters: int = 20) -> float:
+V5E_BF16_PEAK = 197e12  # TPU v5e peak bf16 FLOP/s per chip
+
+
+def engaged_paths() -> dict:
+    """Which optimized code paths engage on this backend — emitted as JSON
+    fields so a throughput regression is attributable (VERDICT r2 Weak #1)."""
+    import math
+
+    import jax
+
+    from audiossl_tpu.frontend.stft import LogMelConfig
+    from audiossl_tpu.ops import block1
+
+    backend = jax.default_backend()
+    cfg = LogMelConfig()
+    n_frames = cfg.num_frames(CLIP)
+    ct2 = (
+        backend == "tpu"
+        and cfg.n_fft % 256 == 0
+        and (cfg.hop % 128 == 0 or 128 // math.gcd(cfg.hop % 128, 128) <= 8)
+    )
+    fused = backend == "tpu" and block1.feasible(n_frames, cfg.n_mels, 64)
+    return {
+        "backend": backend,
+        "frontend_ct2": bool(ct2),
+        "fused_block1": bool(fused),
+    }
+
+
+def measure_train_step(batch: int = 256, iters: int = 20, repeats: int = 3) -> dict:
     """Full DeLoRes-S training step (frontend + aug + fwd + bwd + SGD) —
-    the number that governs pretraining throughput (VERDICT r1 item 6)."""
+    the number that governs pretraining throughput (VERDICT r1 item 6).
+
+    Runs ``repeats`` timing windows of ``iters`` steps each and reports the
+    median clips/s (plus all runs), so one slow tunnel window can't set the
+    number of record (VERDICT r2 Weak #1). Also stamps the step's XLA FLOP
+    count and the implied MFU vs the v5e bf16 peak (VERDICT r2 item 4)."""
     import jax
     import jax.numpy as jnp
 
@@ -96,15 +130,33 @@ def measure_train_step(batch: int = 256, iters: int = 20) -> float:
     rng = np.random.default_rng(1)
     waves = shard_batch(mesh, jnp.asarray(0.3 * rng.standard_normal((batch, CLIP)), jnp.float32))
 
+    flops = None
+    try:  # AOT cost analysis (donation is a lowering detail; nothing executes)
+        analysis = step.jitted.lower(state, waves, None).compile().cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        flops = float(analysis["flops"])
+    except Exception:
+        pass
+
     for _ in range(WARMUP):
         state, metrics = step(state, waves)
     float(metrics["train_loss"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, waves)
-    float(metrics["train_loss"])  # scalar fetch: full completion, no array pull
-    dt = (time.perf_counter() - t0) / iters
-    return batch / dt
+    runs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, waves)
+        float(metrics["train_loss"])  # scalar fetch: full completion, no array pull
+        dt = (time.perf_counter() - t0) / iters
+        runs.append(batch / dt)
+    med = float(np.median(runs))
+    out = {"clips_per_sec": med, "runs": [round(r, 1) for r in runs]}
+    if flops is not None:
+        # flops is per executed program = per step at this global batch
+        out["flops_per_step"] = flops
+        out["mfu"] = round(flops * (med / batch) / V5E_BF16_PEAK, 4)
+    return out
 
 
 def measure_cpu_baseline(n_clips: int = 16) -> float:
@@ -164,17 +216,19 @@ def main():
         json.dump({"cpu_clips_per_sec": baseline}, open(BASELINE_CACHE, "w"))
     tpu = measure_tpu()
     train = measure_train_step()
-    print(
-        json.dumps(
-            {
-                "metric": "clips/sec/chip through log-mel+aug+encoder (both views)",
-                "value": round(tpu, 1),
-                "unit": "clips/sec/chip",
-                "vs_baseline": round(tpu / baseline, 2),
-                "train_clips_per_sec": round(train, 1),
-            }
-        )
-    )
+    record = {
+        "metric": "clips/sec/chip through log-mel+aug+encoder (both views)",
+        "value": round(tpu, 1),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(tpu / baseline, 2),
+        "train_clips_per_sec": round(train["clips_per_sec"], 1),
+        "train_runs": train["runs"],
+    }
+    if "mfu" in train:
+        record["train_mfu"] = train["mfu"]
+        record["train_flops_per_step"] = train["flops_per_step"]
+    record.update(engaged_paths())
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
