@@ -18,3 +18,31 @@ if not os.environ.get("AUDIOSSL_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", False)
+
+import pytest  # noqa: E402
+
+# Test tiers (VERDICT r2 item 9): `pytest -m quick` is the edit loop;
+# modules listed here are wholly `slow` (measured with --durations on this
+# box — MViT-family oracles/transplants, e2e trainers, subprocess pods).
+# Individual tests elsewhere can also carry @pytest.mark.slow.
+SLOW_MODULES = {
+    "test_mast",
+    "test_mvit_oracle",
+    "test_mvit_fused",
+    "test_torch_import",
+    "test_surgery",
+    "test_finetune_mast",
+    "test_e2e",
+    "test_graft_entry",
+    "test_multiprocess_pod",
+    "test_reference_equiv",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        module = os.path.basename(item.nodeid.split("::")[0]).removesuffix(".py")
+        if module in SLOW_MODULES and item.get_closest_marker("slow") is None:
+            item.add_marker(pytest.mark.slow)
+        if item.get_closest_marker("slow") is None:
+            item.add_marker(pytest.mark.quick)
