@@ -53,17 +53,28 @@ class MocoState(NamedTuple):
 
 class EncoderM(nn.Module):
     """DELORES_M wrapper (src/upstream/delores_m/upstream_encoder.py:4-36):
-    AudioNTT with taps -> max+mean pool -> Linear(d -> contrastive_dim)."""
+    AudioNTT with taps -> max+mean pool -> Linear(d -> contrastive_dim).
+
+    ``compute_dtype``/``dropout_rate`` overrides exist for exact-parity runs
+    vs the reference trainer (tests/test_reference_equiv.py); bf16 + the
+    reference dropout stay the TPU training defaults."""
 
     n_mels: int
     d: int
     contrastive_dim: int
     axis_name: str | None
+    compute_dtype: Any = None
+    dropout_rate: float | None = None
 
     @nn.compact
     def __call__(self, v: jax.Array, train: bool):
+        kw: dict[str, Any] = {}
+        if self.compute_dtype is not None:
+            kw["compute_dtype"] = self.compute_dtype
+        if self.dropout_rate is not None:
+            kw["dropout_rate"] = self.dropout_rate
         enc = AudioNTT2020Task6(
-            n_mels=self.n_mels, d=self.d, return_all_layers=True, axis_name=self.axis_name, name="encoder"
+            n_mels=self.n_mels, d=self.d, return_all_layers=True, axis_name=self.axis_name, name="encoder", **kw
         )
         l1, l2, l3, x = enc(v, train)
         q = nn.Dense(self.contrastive_dim, name="fc", dtype=x.dtype)(max_mean_pool(x))
@@ -134,14 +145,19 @@ class DeloresM:
         scale = pre.get("loss_scale", "1/32")
         self.scale_loss = _parse_scale(scale)
         self.tap_dims = (2048, 1024, 512)
+        enc_cfg = pre["base_encoder"]
+        compute_dtype = jnp.dtype(enc_cfg["compute_dtype"]) if enc_cfg.get("compute_dtype") else None
         self.encoder = EncoderM(
             n_mels=int(pre["input"]["n_mels"]),
-            d=int(pre["base_encoder"]["output_dim"]),
+            d=int(enc_cfg["output_dim"]),
             contrastive_dim=self.emb_dim,
             axis_name=axis_name,
+            compute_dtype=compute_dtype,
+            dropout_rate=float(enc_cfg["dropout"]) if enc_cfg.get("dropout") is not None else None,
         )
+        proj_kw = {"compute_dtype": compute_dtype} if compute_dtype is not None else {}
         self.projectors = [
-            MLPProjector(hidden=2048, out=2048, axis_name=axis_name) for _ in self.tap_dims
+            MLPProjector(hidden=2048, out=2048, axis_name=axis_name, **proj_kw) for _ in self.tap_dims
         ]
 
     def init(self, key: jax.Array, sample_views):

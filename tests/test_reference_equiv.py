@@ -249,3 +249,123 @@ def test_delores_s_trainer_matches_reference(monkeypatch):
     acc_ref = _dual_ridge_probe(emb_t[:n_train], py[:n_train], emb_t[n_train:], py[n_train:])
     assert acc_ours == acc_ref, (acc_ours, acc_ref)
     assert acc_ours > 0.9, acc_ours  # the probe task is separable
+
+
+@pytest.mark.slow
+def test_delores_m_trainer_matches_reference(monkeypatch):
+    """Same harness for the MoCo trainer (the reference's hardest stateful
+    one): src/upstream/delores_m/upstream_expert.py:222-278 — InfoNCE over
+    [positive | 512-negative queue] + 3 tap Barlow projections, momentum key
+    encoder updated inside forward, queue dequeue/enqueue + pointer advance
+    every step. Both sides start from transplanted identical weights AND an
+    identical initial queue; 24 steps of matched SGD must produce matching
+    loss trajectories, queue contents, and pointers."""
+    import torch
+
+    _install_reference(monkeypatch)
+    from src.upstream.delores_m.upstream_expert import Upstream_Expert as MocoExpert
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from audiossl_tpu.models.torch_export import audiontt_to_torch, projection_to_torch
+    from audiossl_tpu.objectives.delores_m import DeloresM
+    from audiossl_tpu.train.optim import sgd_torch
+
+    from audiossl_tpu.config import load_config
+
+    config = load_config(None, "delores_m")
+    n_steps, batch, negatives = 24, 32, 512
+    config["pretrain"]["num_negatives"] = negatives
+    config["pretrain"]["base_encoder"]["compute_dtype"] = "float32"
+    config["pretrain"]["base_encoder"]["dropout"] = 0.0
+    batches = _view_batches(6, batch)
+
+    # ---- our trainer --------------------------------------------------
+    obj = DeloresM(config, axis_name=None)
+    dummy = jnp.zeros((batch, 64, 96, 1), jnp.float32)
+    params, batch_stats, ssl = obj.init(jax.random.key(0), (dummy, dummy))
+    tx = sgd_torch(0.03, momentum=0.9, weight_decay=1e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, batch_stats, ssl, opt_state, v1, v2):
+        def loss_fn(p):
+            return obj.loss(p, batch_stats, ssl, (v1, v2), jax.random.key(1), True, None)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (
+            optax.apply_updates(params, updates),
+            aux.batch_stats, aux.ssl_state, opt_state, loss,
+        )
+
+    # ---- the reference trainer, from the SAME weights + queue ----------
+    expert = MocoExpert(
+        config, _load_reference_audiontt(),
+        emb_dim=int(config["pretrain"]["contrastive_dim"]), num_negatives=negatives,
+    )
+    to_t = lambda v: torch.from_numpy(np.ascontiguousarray(np.asarray(v)))  # noqa: E731
+    enc_sd = audiontt_to_torch(
+        {"params": params["encoder"]["encoder"], "batch_stats": batch_stats["encoder"]["encoder"]}
+    )
+    expert.encoder_q.encoder.load_state_dict({k: to_t(v) for k, v in enc_sd.items()}, strict=True)
+    with torch.no_grad():
+        expert.encoder_q.fc.weight.copy_(to_t(params["encoder"]["fc"]["kernel"]).T)
+        expert.encoder_q.fc.bias.copy_(to_t(params["encoder"]["fc"]["bias"]))
+        expert.queue.copy_(to_t(ssl.queue))
+        expert.queue_ptr.zero_()
+    expert.encoder_k.load_state_dict(expert.encoder_q.state_dict(), strict=True)
+    for i in (1, 2, 3):
+        sd = projection_to_torch(params[f"p{i}"], batch_stats[f"p{i}"])
+        getattr(expert, f"p{i}").load_state_dict({k: to_t(v) for k, v in sd.items()}, strict=True)
+    for m in expert.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    expert.trainer = SimpleNamespace(use_ddp=False, use_ddp2=False)
+    expert.train()
+    opt = torch.optim.SGD(
+        (p for p in expert.parameters() if p.requires_grad),
+        lr=0.03, momentum=0.9, weight_decay=1e-4,
+    )
+
+    ours, ref = [], []
+    for i in range(n_steps):
+        v1, v2 = batches[i % len(batches)]
+        params, batch_stats, ssl, opt_state, loss = train_step(
+            params, batch_stats, ssl, opt_state,
+            jnp.asarray(v1)[..., None], jnp.asarray(v2)[..., None],
+        )
+        ours.append(float(loss))
+
+        tloss = expert.training_step((torch.from_numpy(v1[:, None]), torch.from_numpy(v2[:, None])), i)
+        opt.zero_grad()
+        tloss.backward()
+        opt.step()
+        ref.append(float(tloss))
+
+    ours, ref = np.asarray(ours), np.asarray(ref)
+    rel = np.abs(ours - ref) / np.maximum(np.abs(ref), 1e-12)
+    for i in (0, 1, 5, 11, 17, 23):
+        print(f"step {i:2d}: ours {ours[i]:.4f}  ref {ref[i]:.4f}  rel {rel[i]:.2e}")
+    print(f"max rel dev over {n_steps} steps: {rel.max():.2e} at step {rel.argmax()}")
+    assert rel[0] < 1e-4, (ours[0], ref[0])
+    assert rel.max() < 2e-2, (rel.max(), rel.argmax())
+
+    # MoCo state parity after 24 steps: pointer position and queue contents
+    # (24 steps x 32 keys wraps the 512 queue once; every column rewritten)
+    assert int(ssl.queue_ptr) == int(expert.queue_ptr) == (n_steps * batch) % negatives
+    q_ours, q_ref = np.asarray(ssl.queue), expert.queue.detach().numpy()
+    assert np.abs(q_ours - q_ref).max() < 5e-3, np.abs(q_ours - q_ref).max()
+    # momentum (key) encoder towers drifted identically: export our EMA copy
+    # through the same bridge and compare every tensor by name
+    k_sd_ours = audiontt_to_torch(
+        {"params": ssl.params_k["encoder"], "batch_stats": ssl.batch_stats_k["encoder"]}
+    )
+    k_sd_ref = expert.encoder_k.encoder.state_dict()
+    for name, v in k_sd_ours.items():
+        if "num_batches_tracked" in name:
+            continue
+        d = np.abs(np.asarray(v) - k_sd_ref[name].numpy()).max()
+        assert d < 5e-4, (name, d)
