@@ -35,10 +35,19 @@ class EncoderSlicer(nn.Module):
     instance_dim: int
     cluster_dim: int
     axis_name: str | None
+    compute_dtype: Any = None  # None = AudioNTT default (bf16); f32 for exact parity
+    dropout_rate: float | None = None
 
     @nn.compact
     def __call__(self, v: jax.Array, train: bool):
-        enc = AudioNTT2020Task6(n_mels=self.n_mels, d=self.d, axis_name=self.axis_name, name="encoder")
+        enc = AudioNTT2020Task6(
+            n_mels=self.n_mels,
+            d=self.d,
+            axis_name=self.axis_name,
+            name="encoder",
+            **({"compute_dtype": self.compute_dtype} if self.compute_dtype is not None else {}),
+            **({"dropout_rate": self.dropout_rate} if self.dropout_rate is not None else {}),
+        )
         x = max_mean_pool(enc(v, train))
         inst = nn.Dense(self.instance_dim, name="instance_projector", dtype=x.dtype)(x)
         clus = ClusterProjector(hidden=self.d, num_clusters=self.cluster_dim, name="cluster_projector")(x)
@@ -96,12 +105,15 @@ class Slicer:
         self.temperature = float(pre.get("softmax_temperature", 0.07))
         self.cluster_temperature = float(pre.get("cluster_temperature", 1.0))
         self.shuffle_bn = bool(pre.get("shuffle_bn", False))
+        enc_cfg = pre["base_encoder"]
         self.encoder = EncoderSlicer(
             n_mels=int(pre["input"]["n_mels"]),
-            d=int(pre["base_encoder"]["output_dim"]),
+            d=int(enc_cfg["output_dim"]),
             instance_dim=self.emb_dim,
             cluster_dim=self.cluster_dim,
             axis_name=axis_name,
+            compute_dtype=jnp.dtype(enc_cfg["compute_dtype"]) if enc_cfg.get("compute_dtype") else None,
+            dropout_rate=float(enc_cfg["dropout"]) if enc_cfg.get("dropout") is not None else None,
         )
 
     def init(self, key: jax.Array, sample_views):
@@ -170,7 +182,16 @@ class Slicer:
         sym = ce_a + ce_b
         cl = cluster_loss(q_clus, q_clus_1, self.cluster_temperature)
         loss = sym + cl
-        metrics = {"train_loss": loss, "sym_instance_loss": sym, "train_loss_cluster": cl}
+        # per-direction CEs exposed for logging and for the reference-
+        # equivalence harness (the reference backprops only instance_loss_12,
+        # upstream_expert.py:237 — see module docstring)
+        metrics = {
+            "train_loss": loss,
+            "sym_instance_loss": sym,
+            "train_loss_cluster": cl,
+            "instance_loss_12": ce_a,
+            "instance_loss_21": ce_b,
+        }
         return loss, LossAux(batch_stats={"encoder": bs2}, ssl_state=ssl, metrics=metrics)
 
     def encoder_variables(self, params, batch_stats):

@@ -31,11 +31,19 @@ class EncoderUnfused(nn.Module):
     n_mels: int
     d: int
     axis_name: str | None
+    compute_dtype: Any = None  # None = AudioNTT default (bf16); f32 for exact parity
+    dropout_rate: float | None = None
 
     @nn.compact
     def __call__(self, v: jax.Array, train: bool):
         enc = AudioNTT2020Task6(
-            n_mels=self.n_mels, d=self.d, return_all_layers=True, axis_name=self.axis_name, name="encoder"
+            n_mels=self.n_mels,
+            d=self.d,
+            return_all_layers=True,
+            axis_name=self.axis_name,
+            name="encoder",
+            **({"compute_dtype": self.compute_dtype} if self.compute_dtype is not None else {}),
+            **({"dropout_rate": self.dropout_rate} if self.dropout_rate is not None else {}),
         )
         l1, l2, l3, x = enc(v, train)
         return max_mean_pool(x), (l1, l2, l3)
@@ -76,13 +84,22 @@ class Unfused:
         self.beta = float(pre.get("beta", 0.3))
         self.gamma = float(pre.get("gamma", 0.003))
         self.tap_dims = (2048, 1024, 512)
+        enc_cfg = pre["base_encoder"]
+        compute_dtype = jnp.dtype(enc_cfg["compute_dtype"]) if enc_cfg.get("compute_dtype") else None
         self.encoder = EncoderUnfused(
             n_mels=int(pre["input"]["n_mels"]),
-            d=int(pre["base_encoder"]["output_dim"]),
+            d=int(enc_cfg["output_dim"]),
             axis_name=axis_name,
+            compute_dtype=compute_dtype,
+            dropout_rate=float(enc_cfg["dropout"]) if enc_cfg.get("dropout") is not None else None,
         )
         self.projectors = [
-            MLPProjector(hidden=self.num_classes, out=self.num_classes, axis_name=axis_name)
+            MLPProjector(
+                hidden=self.num_classes,
+                out=self.num_classes,
+                axis_name=axis_name,
+                **({"compute_dtype": compute_dtype} if compute_dtype is not None else {}),
+            )
             for _ in self.tap_dims
         ]
 

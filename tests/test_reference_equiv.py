@@ -252,6 +252,288 @@ def test_delores_s_trainer_matches_reference(monkeypatch):
 
 
 @pytest.mark.slow
+def test_unfused_trainer_matches_reference(monkeypatch):
+    """Same harness for UnFuSeD (src/upstream/unfused/upstream_expert.py:
+    141-168): pseudo-label distillation — per-tap Project MLPs + pooled
+    classifier, alpha-weighted CE + beta-weighted KL(student||classifier) +
+    gamma-weighted cosine-MSE, full combined loss backpropped.
+
+    Intent shim (test-only): src/upstream/unfused/upstream_encoder.py:17
+    unpacks ``x, x_1, x_2, x_3 = self.encoder(x)`` against audiontt's
+    ``return x_1, x_2, x_3, x`` (audiontt.py:100-101) — as written the
+    pooled path max/means a 2-D tap into a [B] vector and every head gets a
+    mis-sized input (immediate shape error). The behavioral ground truth,
+    extras/unfused/models_delores.py:110, returns ``(pooled, taps)`` in the
+    intended order; the shim re-binds forward with the unpack fixed and
+    nothing else (SURVEY.md §2.5).
+
+    lr is 0.003 (not configure_optimizers' 0.03 default): from this init,
+    0.03 drives the combined loss through a chaotic spike (CE 16 -> 75 ->
+    recovery) where any two fp implementations genuinely diverge — the
+    torch twin blows up while the XLA one recovers. Equivalence is only
+    well-posed in the stable regime; 0.003 descends monotonically."""
+    import torch
+
+    _install_reference(monkeypatch)
+    import src.upstream.unfused.upstream_encoder as ref_enc_mod
+    from src.upstream.unfused.upstream_expert import Upstream_Expert as UnfusedExpert
+
+    def fixed_forward(self, x):
+        x_1, x_2, x_3, x = self.encoder(x)
+        (m, _) = torch.max(x, dim=1)
+        x = m + torch.mean(x, dim=1)
+        return x, (x_1, x_2, x_3)
+
+    monkeypatch.setattr(ref_enc_mod.UNFUSED, "forward", fixed_forward)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from audiossl_tpu.config import load_config
+    from audiossl_tpu.models.torch_export import audiontt_to_torch, projection_to_torch
+    from audiossl_tpu.objectives.unfused import Unfused
+    from audiossl_tpu.train.optim import sgd_torch
+
+    config = load_config(None, "unfused")
+    n_steps, batch, n_classes = 30, 32, int(config["pretrain"]["task_label"])
+    config["pretrain"]["base_encoder"]["compute_dtype"] = "float32"
+    config["pretrain"]["base_encoder"]["dropout"] = 0.0
+    batches = _view_batches(6, batch)
+    label_rng = np.random.default_rng(13)
+    labels = [label_rng.integers(0, n_classes, batch).astype(np.int32) for _ in range(6)]
+
+    # ---- our trainer --------------------------------------------------
+    obj = Unfused(config, axis_name=None)
+    dummy = jnp.zeros((batch, 64, 96, 1), jnp.float32)
+    params, batch_stats, _ = obj.init(jax.random.key(0), (dummy, dummy))
+    tx = sgd_torch(0.003, momentum=0.9, weight_decay=1e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, v1, y):
+        def loss_fn(p):
+            return obj.loss(p, batch_stats, (), (v1, y), jax.random.key(1), True, None)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), aux.batch_stats, opt_state, loss, aux.metrics
+
+    # ---- the reference trainer, from the SAME weights -------------------
+    expert = UnfusedExpert(config, _load_reference_audiontt())
+    to_t = lambda v: torch.from_numpy(np.ascontiguousarray(np.asarray(v)))  # noqa: E731
+    enc_sd = audiontt_to_torch(
+        {"params": params["encoder"]["encoder"], "batch_stats": batch_stats["encoder"]["encoder"]}
+    )
+    expert.encoder_q.encoder.load_state_dict({k: to_t(v) for k, v in enc_sd.items()}, strict=True)
+    for i in (1, 2, 3):
+        sd = projection_to_torch(params[f"p{i}"], batch_stats[f"p{i}"])
+        sd = {k: to_t(v) for k, v in sd.items() if not k.startswith("bn.")}  # Project has no norm tail
+        getattr(expert, f"p{i}").load_state_dict(sd, strict=True)
+    with torch.no_grad():
+        expert.classifier.linear.weight.copy_(to_t(params["classifier"]["kernel"]).T)
+        expert.classifier.linear.bias.copy_(to_t(params["classifier"]["bias"]))
+    for m in expert.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    ref_logs = []
+    expert.log_dict = lambda d, *a, **k: ref_logs.append({n: float(v) for n, v in d.items()})
+    expert.train()
+    opt = torch.optim.SGD(expert.parameters(), lr=0.003, momentum=0.9, weight_decay=1e-4)
+
+    ours, ref, our_logs = [], [], []
+    for i in range(n_steps):
+        v1, _ = batches[i % len(batches)]
+        y = labels[i % len(labels)]
+        params, batch_stats, opt_state, loss, metrics = train_step(
+            params, batch_stats, opt_state, jnp.asarray(v1)[..., None], jnp.asarray(y)
+        )
+        ours.append(float(loss))
+        our_logs.append({n: float(v) for n, v in metrics.items()})
+
+        tloss = expert.training_step(
+            ((torch.from_numpy(v1[:, None]), None), torch.from_numpy(y.astype(np.int64))), i
+        )
+        opt.zero_grad()
+        tloss.backward()
+        opt.step()
+        ref.append(float(tloss))
+
+    ours, ref = np.asarray(ours), np.asarray(ref)
+    rel = np.abs(ours - ref) / np.maximum(np.abs(ref), 1e-12)
+    for i in (0, 1, 7, 15, 23, n_steps - 1):
+        print(f"step {i:2d}: ours {ours[i]:.4f}  ref {ref[i]:.4f}  rel {rel[i]:.2e}")
+    print(f"max rel dev over {n_steps} steps: {rel.max():.2e} at step {rel.argmax()}")
+    assert rel[0] < 1e-4, (ours[0], ref[0])
+    assert rel.max() < 2e-2, (rel.max(), rel.argmax())
+    assert ref[-1] < ref[0] and ours[-1] < ours[0]  # supervised CE must descend
+
+    # component losses (CE / KL / cosine-MSE) track individually
+    for name in ("CE-loss", "kl-loss", "mse-loss"):
+        o = np.asarray([log[name] for log in our_logs])
+        r = np.asarray([log[name] for log in ref_logs])
+        mrel = (np.abs(o - r) / np.maximum(np.abs(r), 1e-9)).max()
+        print(f"{name}: max rel dev {mrel:.2e}")
+        assert mrel < 5e-2, (name, mrel)
+
+
+@pytest.mark.slow
+def test_slicer_trainer_matches_reference(monkeypatch):
+    """Same harness for SLICER (src/upstream/slicer/upstream_expert.py:183-237):
+    MoCo InfoNCE + cluster-contrastive loss with TWO forwards per step — each
+    momentum-updates the key tower and enqueues, so state advances twice per
+    step. The reference's training_step computes the combined loss but
+    backprops only the FIRST-direction CE (upstream_expert.py:237, a defect
+    our objective deliberately fixes); this test mirrors the defect exactly —
+    grads taken on `instance_loss_12` only, and the cluster head frozen the
+    way torch SGD skips grad-less params — so the two trainers must track.
+
+    Extra shim: `from src.utils import ClusterLoss` is a dangling import
+    (SURVEY.md §2.5 — ClusterLoss lives only in
+    extras/slicer/contrastive_loss.py); it is injected into src.utils before
+    the expert imports."""
+    import torch
+
+    _install_reference(monkeypatch)
+    import src.utils as ref_utils
+
+    if not hasattr(ref_utils, "ClusterLoss"):
+        spec = importlib.util.spec_from_file_location(
+            "ref_contrastive_loss",
+            os.path.join(REFERENCE, "extras", "slicer", "contrastive_loss.py"),
+        )
+        closs = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(closs)
+        monkeypatch.setattr(ref_utils, "ClusterLoss", closs.ClusterLoss, raising=False)
+    from src.upstream.slicer.upstream_expert import Upstream_Expert as SlicerExpert
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from audiossl_tpu.config import load_config
+    from audiossl_tpu.models.torch_export import audiontt_to_torch
+    from audiossl_tpu.objectives.slicer import Slicer
+    from audiossl_tpu.train.optim import sgd_torch
+
+    config = load_config(None, "slicer")
+    n_steps, batch, negatives = 22, 32, 512
+    config["pretrain"]["num_negatives"] = negatives
+    config["pretrain"]["base_encoder"]["compute_dtype"] = "float32"
+    config["pretrain"]["base_encoder"]["dropout"] = 0.0
+    batches = _view_batches(6, batch)
+
+    # ---- our trainer, mirroring the reference's actual gradient -----------
+    obj = Slicer(config, axis_name=None)
+    dummy = jnp.zeros((batch, 64, 96, 1), jnp.float32)
+    params, batch_stats, ssl = obj.init(jax.random.key(0), (dummy, dummy))
+    tx = sgd_torch(0.03, momentum=0.9, weight_decay=1e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, batch_stats, ssl, opt_state, v1, v2):
+        def loss_fn(p):
+            _, aux = obj.loss(p, batch_stats, ssl, (v1, v2), jax.random.key(1), True, None)
+            return aux.metrics["instance_loss_12"], aux
+
+        (ce, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        # torch SGD skips grad-less params entirely (no update, no weight
+        # decay): the cluster head only feeds the un-backpropped cluster
+        # loss, so restore it verbatim
+        new_params = {
+            **new_params,
+            "encoder": {
+                **new_params["encoder"],
+                "cluster_projector": params["encoder"]["cluster_projector"],
+            },
+        }
+        return new_params, aux.batch_stats, aux.ssl_state, opt_state, ce, aux.metrics
+
+    # ---- the reference trainer, from the SAME weights + queue -------------
+    expert = SlicerExpert(config, _load_reference_audiontt(), emb_dim=128, num_negatives=negatives)
+    to_t = lambda v: torch.from_numpy(np.ascontiguousarray(np.asarray(v)))  # noqa: E731
+    enc_sd = audiontt_to_torch(
+        {"params": params["encoder"]["encoder"], "batch_stats": batch_stats["encoder"]["encoder"]}
+    )
+    expert.encoder_q.encoder.load_state_dict({k: to_t(v) for k, v in enc_sd.items()}, strict=True)
+    with torch.no_grad():
+        p_enc = params["encoder"]
+        expert.encoder_q.instance_projector.weight.copy_(to_t(p_enc["instance_projector"]["kernel"]).T)
+        expert.encoder_q.instance_projector.bias.copy_(to_t(p_enc["instance_projector"]["bias"]))
+        for flax_name, torch_idx in (("Dense_0", "0"), ("Dense_1", "2")):
+            lin = getattr(expert.encoder_q.cluster_projector, torch_idx)
+            lin.weight.copy_(to_t(p_enc["cluster_projector"][flax_name]["kernel"]).T)
+            lin.bias.copy_(to_t(p_enc["cluster_projector"][flax_name]["bias"]))
+        expert.queue.copy_(to_t(ssl.queue))
+        expert.queue_ptr.zero_()
+    expert.encoder_k.load_state_dict(expert.encoder_q.state_dict(), strict=True)
+    for m in expert.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    expert.trainer = SimpleNamespace(use_ddp=False, use_ddp2=False)
+    ref_logs = []
+    expert.log_dict = lambda d, *a, **k: ref_logs.append({n: float(v) for n, v in d.items()})
+    expert.train()
+    opt = torch.optim.SGD(expert.parameters(), lr=0.03, momentum=0.9, weight_decay=1e-4)
+
+    ours, ref, our_logs = [], [], []
+    for i in range(n_steps):
+        v1, v2 = batches[i % len(batches)]
+        params, batch_stats, ssl, opt_state, ce, metrics = train_step(
+            params, batch_stats, ssl, opt_state,
+            jnp.asarray(v1)[..., None], jnp.asarray(v2)[..., None],
+        )
+        ours.append(float(ce))
+        our_logs.append({n: float(v) for n, v in metrics.items()})
+
+        tloss = expert.training_step((torch.from_numpy(v1[:, None]), torch.from_numpy(v2[:, None])), i)
+        opt.zero_grad()
+        tloss.backward()
+        opt.step()
+        ref.append(float(tloss))
+
+    ours, ref = np.asarray(ours), np.asarray(ref)
+    rel = np.abs(ours - ref) / np.maximum(np.abs(ref), 1e-12)
+    for i in (0, 1, 5, 11, 17, n_steps - 1):
+        print(f"step {i:2d}: ours {ours[i]:.4f}  ref {ref[i]:.4f}  rel {rel[i]:.2e}")
+    print(f"max rel dev over {n_steps} steps: {rel.max():.2e} at step {rel.argmax()}")
+    assert rel[0] < 1e-4, (ours[0], ref[0])
+    assert rel.max() < 2e-2, (rel.max(), rel.argmax())
+
+    # the full logged metric set (combined, symmetric-instance, cluster)
+    # tracks too — the cluster loss exercises the softmax head + the
+    # column-contrastive path even though the reference never backprops it
+    for name in ("train_loss", "sym_instance_loss", "train_loss_cluster"):
+        o = np.asarray([log[name] for log in our_logs])
+        r = np.asarray([log[name] for log in ref_logs])
+        mrel = (np.abs(o - r) / np.maximum(np.abs(r), 1e-12)).max()
+        print(f"{name}: max rel dev {mrel:.2e}")
+        assert mrel < 2e-2, (name, mrel)
+
+    # MoCo state parity: two enqueues per step -> ptr advanced 2*B*steps
+    assert int(ssl.queue_ptr) == int(expert.queue_ptr) == (2 * n_steps * batch) % negatives
+    q_ours, q_ref = np.asarray(ssl.queue), expert.queue.detach().numpy()
+    assert np.abs(q_ours - q_ref).max() < 5e-3, np.abs(q_ours - q_ref).max()
+    # momentum tower (updated twice per step) drifted identically
+    k_sd_ours = audiontt_to_torch(
+        {"params": ssl.params_k["encoder"], "batch_stats": ssl.batch_stats_k["encoder"]}
+    )
+    k_sd_ref = expert.encoder_k.encoder.state_dict()
+    for name, v in k_sd_ours.items():
+        if "num_batches_tracked" in name:
+            continue
+        d = np.abs(np.asarray(v) - k_sd_ref[name].numpy()).max()
+        assert d < 5e-4, (name, d)
+    d = np.abs(
+        np.asarray(ssl.params_k["instance_projector"]["kernel"]).T
+        - expert.encoder_k.instance_projector.weight.detach().numpy()
+    ).max()
+    assert d < 5e-4, ("instance_projector.weight (k tower)", d)
+
+
+@pytest.mark.slow
 def test_delores_m_trainer_matches_reference(monkeypatch):
     """Same harness for the MoCo trainer (the reference's hardest stateful
     one): src/upstream/delores_m/upstream_expert.py:222-278 — InfoNCE over
