@@ -42,10 +42,19 @@ class DecarNet(nn.Module):
     feat_dim: int = 128
     nmb_prototypes: Sequence[int] = (1024,)
     axis_name: str | None = None
+    compute_dtype: Any = None  # None = AudioNTT default (bf16); f32 for exact parity
+    dropout_rate: float | None = None
 
     @nn.compact
     def __call__(self, v: jax.Array, train: bool):
-        enc = AudioNTT2020Task6(n_mels=self.n_mels, d=self.d, axis_name=self.axis_name, name="encoder")
+        enc = AudioNTT2020Task6(
+            n_mels=self.n_mels,
+            d=self.d,
+            axis_name=self.axis_name,
+            name="encoder",
+            **({"compute_dtype": self.compute_dtype} if self.compute_dtype is not None else {}),
+            **({"dropout_rate": self.dropout_rate} if self.dropout_rate is not None else {}),
+        )
         z = max_mean_pool(enc(v, train))
         z = nn.Dense(2048, name="proj_fc1", dtype=z.dtype)(z)
         z = nn.BatchNorm(
@@ -170,12 +179,15 @@ class DecarV2:
         self.freeze_niters = int(pre.get("freeze_prototypes_niters", 300))
         self.kmeans_iters = int(pre.get("kmeans_iters", 10))
         self.feat_dim = int(pre.get("feat_dim", 128))
+        enc_cfg = pre["base_encoder"]
         self.net = DecarNet(
             n_mels=int(pre["input"]["n_mels"]),
-            d=int(pre["base_encoder"].get("output_dim", 512)),
+            d=int(enc_cfg.get("output_dim", 512)),
             feat_dim=self.feat_dim,
             nmb_prototypes=self.nmb_prototypes,
             axis_name=axis_name,
+            compute_dtype=jnp.dtype(enc_cfg["compute_dtype"]) if enc_cfg.get("compute_dtype") else None,
+            dropout_rate=float(enc_cfg["dropout"]) if enc_cfg.get("dropout") is not None else None,
         )
 
     def init(self, key: jax.Array, sample_views):

@@ -651,3 +651,288 @@ def test_delores_m_trainer_matches_reference(monkeypatch):
             continue
         d = np.abs(np.asarray(v) - k_sd_ref[name].numpy()).max()
         assert d < 5e-4, (name, d)
+
+
+@pytest.mark.slow
+def test_decar_trainer_matches_reference(monkeypatch):
+    """Same harness for DECAR-v2 / DeepCluster-v2 (extras/decar-v2): the
+    online spherical k-means over the embedding memory bank
+    (utils.py:276-346 `cluster_memory` — rank-0-init centroids, all-reduced
+    M-steps, centroids copied into the prototype weights, assignments
+    all-gathered) plus the per-step prototype-CE train loop
+    (main.py:216-250 — CE(ignore_index=-100), prototype-grad freeze window,
+    memory refreshed in place with the detached view-1 embeddings).
+
+    The ACTUAL reference functions run on the torch side: `cluster_memory`
+    and `AudioNTT2020.forward` execute verbatim under single-process shims
+    (`.cuda()` identity, world-size-1 torch.distributed no-ops, and
+    torch.randperm pinned to the same permutation our kmeans_on_mesh draws,
+    so both sides pick identical init centroids). The train-step glue
+    (CE + freeze + memory write) is transcribed from main.py because
+    main() itself needs argparse/SLURM/apex. Reference quirk honored by
+    substitution: models_delores.py:97 hardcodes MultiPrototypes(out, [1024])
+    regardless of args.nmb_prototypes — the clustering/training engine
+    honors args, so the test rebuilds the prototype module at the test's K.
+
+    Both optimizers are plain SGD with weight_decay=0: the reference freeze
+    sets p.grad=None (torch then skips the param entirely, applying no wd),
+    while ours zeroes the gradient — identical only at wd=0. The reference's
+    LARC wrapper is apex (unavailable); our LARC has its own unit tests.
+
+    Two full epochs: cluster -> 6 CE steps (freeze flips OFF mid-epoch at
+    step 3) -> re-cluster on the refreshed memory -> 4 more steps."""
+    import torch
+
+    if "librosa" not in sys.modules:
+        try:
+            import librosa  # noqa: F401
+        except ImportError:
+            monkeypatch.setitem(sys.modules, "librosa", types.ModuleType("librosa"))
+
+    base = os.path.join(REFERENCE, "extras", "decar-v2")
+    spec = importlib.util.spec_from_file_location("decar_utils", os.path.join(base, "utils.py"))
+    ref_utils = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_utils)
+    monkeypatch.setitem(sys.modules, "utils", ref_utils)  # models_delores flat import
+    spec = importlib.util.spec_from_file_location(
+        "decar_models", os.path.join(base, "models_delores.py")
+    )
+    ref_models = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_models)
+
+    # single-process shims for the reference's CUDA/DDP assumptions
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self, raising=False)
+    monkeypatch.setattr(torch.distributed, "broadcast", lambda *a, **k: None, raising=False)
+    monkeypatch.setattr(torch.distributed, "all_reduce", lambda *a, **k: None, raising=False)
+
+    def fake_all_gather(tensor_list, tensor, async_op=False):
+        tensor_list[0].copy_(tensor)
+        return SimpleNamespace(wait=lambda: None)
+
+    monkeypatch.setattr(torch.distributed, "all_gather", fake_all_gather, raising=False)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from audiossl_tpu.config import load_config
+    from audiossl_tpu.models.torch_export import audiontt_to_torch
+    from audiossl_tpu.objectives.decar import (
+        DecarV2,
+        decar_ce,
+        kmeans_on_mesh,
+        memory_update,
+    )
+    from audiossl_tpu.train.optim import sgd_torch
+
+    config = load_config(None, "decar_v2")
+    pre = config["pretrain"]
+    batch, n_batches, k_protos, feat_dim = 16, 6, 16, 64
+    n_total = batch * n_batches
+    pre["nmb_prototypes"] = [k_protos]
+    pre["feat_dim"] = feat_dim
+    pre["freeze_prototypes_niters"] = 3
+    pre["kmeans_iters"] = 10
+    pre["base_encoder"]["compute_dtype"] = "float32"
+    pre["base_encoder"]["dropout"] = 0.0
+    batches = _view_batches(n_batches, batch)
+
+    # ---- our trainer --------------------------------------------------
+    obj = DecarV2(config, axis_name=None)
+    dummy = jnp.zeros((batch, 64, 96, 1), jnp.float32)
+    params, batch_stats, _ = obj.init(jax.random.key(0), (dummy, dummy))
+    tx = sgd_torch(0.01, momentum=0.9, weight_decay=0.0)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def embed_eval(params, batch_stats, v):
+        emb, _ = obj.net.apply({"params": params, "batch_stats": batch_stats}, v, False)
+        return emb
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, v1, v2, targets, step_i):
+        def loss_fn(p):
+            (emb, _), mut = obj.apply_net(p, batch_stats, v1, jax.random.key(1), True)
+            (_, scores2), mut2 = obj.net.apply(
+                {"params": p, "batch_stats": mut["batch_stats"]},
+                v2, True, rngs={"dropout": jax.random.key(1)}, mutable=["batch_stats"],
+            )
+            loss = decar_ce(scores2[0], targets, obj.temperature)
+            return loss, (emb, mut2["batch_stats"])
+
+        (loss, (emb, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads = obj.freeze_prototype_grads(grads, step_i)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, opt_state, loss, emb
+
+    # ---- the reference model, from the SAME weights --------------------
+    args = SimpleNamespace(
+        rank=0, world_size=1, nmb_prototypes=[k_protos], crops_for_assign=[0],
+        feat_dim=feat_dim, batch_size=batch, nmb_crops=[1],
+    )
+    ref_model = ref_models.AudioNTT2020(args, out_dim=feat_dim, n_mels=64, d=512)
+    ref_model.prototypes = ref_utils.MultiPrototypes(feat_dim, [k_protos])
+    to_t = lambda v: torch.from_numpy(np.ascontiguousarray(np.asarray(v)))  # noqa: E731
+    enc_sd = audiontt_to_torch(
+        {"params": params["encoder"], "batch_stats": batch_stats["encoder"]}
+    )
+    remap = {  # src-layout block names -> decar-v2's flat features Sequential
+        "features_1.0": "features.0", "features_1.1": "features.1",
+        "features_2.0": "features.4", "features_2.1": "features.5",
+        "features_3.0": "features.8", "features_3.1": "features.9",
+    }
+    sd = {}
+    for k, v in enc_sd.items():
+        for old, new in remap.items():
+            if k.startswith(old + "."):
+                k = new + k[len(old):]
+                break
+        sd[k] = to_t(v)
+    sd["projection_head.0.weight"] = to_t(params["proj_fc1"]["kernel"]).T
+    sd["projection_head.0.bias"] = to_t(params["proj_fc1"]["bias"])
+    sd["projection_head.1.weight"] = to_t(params["proj_bn"]["scale"])
+    sd["projection_head.1.bias"] = to_t(params["proj_bn"]["bias"])
+    sd["projection_head.1.running_mean"] = to_t(batch_stats["proj_bn"]["mean"])
+    sd["projection_head.1.running_var"] = to_t(batch_stats["proj_bn"]["var"])
+    sd["projection_head.1.num_batches_tracked"] = torch.zeros((), dtype=torch.long)
+    sd["projection_head.3.weight"] = to_t(params["proj_fc2"]["kernel"]).T
+    sd["projection_head.3.bias"] = to_t(params["proj_fc2"]["bias"])
+    sd["prototypes.prototypes0.weight"] = to_t(params["prototypes0"]["kernel"]).T
+    ref_model.load_state_dict(sd, strict=True)
+    for m in ref_model.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    opt = torch.optim.SGD(ref_model.parameters(), lr=0.01, momentum=0.9, weight_decay=0.0)
+    ce = torch.nn.CrossEntropyLoss(ignore_index=-100)
+
+    # ---- memory bank init (eval-mode forward, utils.py:244-269) ---------
+    mem_emb = np.zeros((n_total, feat_dim), np.float32)
+    ref_model.eval()
+    mem_t = torch.zeros(1, n_total, feat_dim)
+    for i, (v1, v2) in enumerate(batches):
+        emb = np.asarray(embed_eval(params, batch_stats, jnp.asarray(v1)[..., None]))
+        mem_emb[i * batch : (i + 1) * batch] = emb
+        with torch.no_grad():
+            out = ref_model([torch.from_numpy(v1[:, None]), torch.from_numpy(v2[:, None])])
+            mem_t[0, i * batch : (i + 1) * batch] = out[0]
+    d0 = np.abs(mem_emb - mem_t[0].numpy()).max()
+    print(f"memory-init transplant fidelity: {d0:.2e}")
+    assert d0 < 1e-4, d0
+    mem_idx = np.arange(n_total, dtype=np.int32)
+    idx_t = torch.from_numpy(mem_idx.astype(np.int64))
+
+    def cluster_both(params, mem_emb, mem_t, key):
+        """Our kmeans_on_mesh vs the reference cluster_memory, same init."""
+        cents, assigns = kmeans_on_mesh(
+            jnp.asarray(mem_emb), jnp.asarray(mem_idx), n_total, k_protos, key,
+            n_iters=10, axis_name=None,
+        )
+        new_params = obj.set_prototypes(params, [cents])
+
+        full_perm = np.asarray(jax.random.permutation(key, n_total))
+
+        def pinned_randperm(n, **kw):
+            assert n == n_total
+            return torch.from_numpy(full_perm.astype(np.int64))
+
+        orig_randperm = torch.randperm
+        torch.randperm = pinned_randperm  # scoped manually: monkeypatch.undo() would drop ALL shims
+        try:
+            assigns_t = ref_utils.cluster_memory(
+                args, SimpleNamespace(module=ref_model), idx_t, mem_t, n_total,
+                nmb_kmeans_iters=10,
+            )
+        finally:
+            torch.randperm = orig_randperm
+        return new_params, np.asarray(assigns), assigns_t[0].numpy()
+
+    params, assign_j, assign_t = cluster_both(params, mem_emb, mem_t, jax.random.key(42))
+    match = (assign_j == assign_t).mean()
+    print(f"epoch-1 assignments match: {match:.4f}")
+    assert match == 1.0, match
+    c_ours = np.asarray(params["prototypes0"]["kernel"]).T
+    c_ref = ref_model.prototypes.prototypes0.weight.detach().numpy()
+    dc = np.abs(c_ours - c_ref).max()
+    print(f"epoch-1 centroids max diff: {dc:.2e}")
+    assert dc < 1e-3, dc
+
+    # ---- train: 6 steps (freeze flips off at step 3), then re-cluster ----
+    ref_model.train()
+    ours_losses, ref_losses = [], []
+    step_i = 0
+
+    def one_epoch(params, batch_stats, opt_state, assign_j, assign_t, n_steps, step_i, mem_emb, mem_t):
+        for i in range(n_steps):
+            v1, v2 = batches[i % n_batches]
+            idxs = np.arange(i * batch, (i + 1) * batch) % n_total
+            targets = jnp.asarray(assign_j[idxs])
+            params, batch_stats, opt_state, loss, emb = train_step(
+                params, batch_stats, opt_state,
+                jnp.asarray(v1)[..., None], jnp.asarray(v2)[..., None],
+                targets, jnp.asarray(step_i),
+            )
+            ours_losses.append(float(loss))
+            new_mem, _ = memory_update(
+                jnp.asarray(mem_emb), jnp.asarray(mem_idx), emb, jnp.asarray(idxs.astype(np.int32)),
+                jnp.asarray(i),
+            )
+            mem_emb = np.asarray(new_mem)
+
+            t1, t2 = torch.from_numpy(v1[:, None]), torch.from_numpy(v2[:, None])
+            emb_t, scores_t = ref_model([t1, t2])
+            emb_t = emb_t.detach()
+            loss_t = ce(scores_t[0] / 1.0, torch.from_numpy(assign_t[idxs]).long())
+            opt.zero_grad()
+            loss_t.backward()
+            if step_i < pre["freeze_prototypes_niters"]:  # main.py:239-242
+                for name, p in ref_model.named_parameters():
+                    if "prototypes" in name:
+                        p.grad = None
+            opt.step()
+            ref_losses.append(float(loss_t))
+            with torch.no_grad():
+                mem_t[0, i * batch : (i + 1) * batch] = emb_t
+            step_i += 1
+        return params, batch_stats, opt_state, step_i, mem_emb, mem_t
+
+    params, batch_stats, opt_state, step_i, mem_emb, mem_t = one_epoch(
+        params, batch_stats, opt_state, assign_j, assign_t, 6, step_i, mem_emb, mem_t
+    )
+
+    params, assign_j2, assign_t2 = cluster_both(params, mem_emb, mem_t, jax.random.key(43))
+    match2 = (assign_j2 == assign_t2).mean()
+    print(f"epoch-2 assignments match (post-training memory): {match2:.4f}")
+    assert match2 == 1.0, match2
+
+    params, batch_stats, opt_state, step_i, mem_emb, mem_t = one_epoch(
+        params, batch_stats, opt_state, assign_j2, assign_t2, 4, step_i, mem_emb, mem_t
+    )
+
+    ours, ref = np.asarray(ours_losses), np.asarray(ref_losses)
+    rel = np.abs(ours - ref) / np.maximum(np.abs(ref), 1e-12)
+    for i in range(len(ours)):
+        print(f"step {i:2d}: ours {ours[i]:.4f}  ref {ref[i]:.4f}  rel {rel[i]:.2e}")
+    print(f"max rel dev over {len(ours)} steps: {rel.max():.2e} at step {rel.argmax()}")
+    assert rel[0] < 1e-4, (ours[0], ref[0])
+    assert rel.max() < 2e-2, (rel.max(), rel.argmax())
+
+    # memory entries are live training embeddings — compare relative to
+    # their scale (the late-step drift bounds them, same as the losses)
+    scale = np.abs(mem_t[0].numpy()).max()
+    diff = np.abs(mem_emb - mem_t[0].numpy())
+    per_batch = [diff[b * batch : (b + 1) * batch].max() for b in range(n_batches)]
+    print("per-slot-block max diffs:", ["%.1e" % v for v in per_batch])
+    dm = diff.max() / scale
+    print(f"final memory bank max rel diff: {dm:.2e} (scale {scale:.1f})")
+    # per-coordinate embedding drift amplifies faster than the loss scalar
+    # (measured 4e-2 at the last write after 10 matched steps); a structural
+    # slot/ordering bug would show O(1)-relative rows, which 1e-1 catches
+    assert dm < 1e-1, dm
+    # the epoch-1 leftovers (slots never rewritten in epoch 2) were written
+    # early, where drift was still ~1e-3 — hold them an order tighter
+    assert max(per_batch[4:]) / scale < 1e-2, per_batch
+    c_ours = np.asarray(params["prototypes0"]["kernel"]).T
+    c_ref = ref_model.prototypes.prototypes0.weight.detach().numpy()
+    dc = np.abs(c_ours - c_ref).max() / max(np.abs(c_ref).max(), 1e-12)
+    print(f"final prototype weights max rel diff: {dc:.2e}")
+    assert dc < 2e-2, dc
