@@ -24,9 +24,13 @@ VARIANTS = {
 
 
 def mast_config(
-    model_size: str = "base", fstride: int = 10, tstride: int = 10, compute_dtype=None
+    model_size: str = "base",
+    fstride: int = 10,
+    tstride: int = 10,
+    compute_dtype=None,
+    droppath_rate: float | None = None,
 ) -> MViTConfig:
-    return VARIANTS[model_size](
+    kw: dict = dict(
         patch_kernel=(16, 16),
         patch_stride=(tstride, fstride),  # H = time, W = freq after transpose
         patch_padding=(0, 0),
@@ -34,6 +38,12 @@ def mast_config(
         cls_embed_on=False,
         compute_dtype=compute_dtype,
     )
+    # MVIT.DROPPATH_RATE override (the reference's per-size yaml knob,
+    # extras/mast_new/mast/configs/MVITv2_*.yaml); None keeps the variant
+    # default (0.1 / 0.2 / 0.3 for T / S / B).
+    if droppath_rate is not None:
+        kw["droppath_rate"] = float(droppath_rate)
+    return VARIANTS[model_size](**kw)
 
 
 class MASTEncoder(nn.Module):
@@ -48,6 +58,7 @@ class MASTEncoder(nn.Module):
     # bf16 compute by default (same policy as AudioNTT: f32 norm stats,
     # f32 softmax, f32 output); set None for exact-f32
     compute_dtype: jnp.dtype | None = jnp.bfloat16
+    droppath_rate: float | None = None  # None = variant default
     # PatchDrop (augmentations.py:64-79) is commented out of the reference MAST
     # forward (mast.py:208-217) — and token dropping is incompatible with
     # MViT's grid-structured pooled attention — so it is not wired in here;
@@ -57,7 +68,13 @@ class MASTEncoder(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         # time on the H axis: [B, F, T, 1] -> [B, T, F, 1] (mast.py:191)
         x = jnp.swapaxes(x, 1, 2)
-        cfg = mast_config(self.model_size, self.fstride, self.tstride, self.compute_dtype)
+        cfg = mast_config(
+            self.model_size,
+            self.fstride,
+            self.tstride,
+            self.compute_dtype,
+            droppath_rate=self.droppath_rate,
+        )
         tokens = MViT(
             cfg,
             input_hw=(self.input_tdim, self.input_fdim),
@@ -78,6 +95,7 @@ class MASTWithHead(nn.Module):
     model_size: str = "base"
     remat: bool = False  # per-block activation checkpointing for big batches
     compute_dtype: jnp.dtype | None = jnp.bfloat16  # None = exact f32 trunk
+    droppath_rate: float | None = None  # None = variant default
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -87,6 +105,7 @@ class MASTWithHead(nn.Module):
             model_size=self.model_size,
             remat=self.remat,
             compute_dtype=self.compute_dtype,
+            droppath_rate=self.droppath_rate,
             name="mast",
         )(x, train)
         return nn.Dense(self.output_dim, name="mlp_fc1", dtype=z.dtype)(z)

@@ -5,7 +5,9 @@ MASTWithHead encoders (MViTv2 trunk + Linear(d -> 256), models_msn.py:167),
 65536-key queue, symmetric InfoNCE (both view orders, each enqueueing,
 training_step:316-340), key encoder updated with the cosine momentum
 schedule m(e) = 1 - 0.5 (1 + cos(pi e / 200)) (1 - 0.99)
-(extras/mast_new/mast/utils.py:55-57, applied with epoch+1), AdamW.
+(extras/mast_new/mast/utils.py:55-57, applied with epoch+1) — applied
+TWICE per training step, once inside each of the two forward calls
+(upstream_expert.py:268) — AdamW.
 
 The epoch for the momentum schedule derives from a step counter carried in
 the SSL state and ``steps_per_epoch`` (config), keeping the loss pure.
@@ -62,6 +64,8 @@ class SSMast:
             remat=bool(pre.get("remat", False)),  # MODEL.ACT_CHECKPOINT
             # "bf16" (default) | "f32" exact trunk
             compute_dtype=None if pre.get("compute_dtype") == "f32" else jnp.bfloat16,
+            # MVIT.DROPPATH_RATE override; None keeps the variant default
+            droppath_rate=pre.get("droppath_rate"),
         )
 
     def init(self, key: jax.Array, sample_views):
@@ -88,9 +92,14 @@ class SSMast:
 
         epoch = ssl_state.step // self.steps_per_epoch
         m = cosine_momentum((epoch + 1).astype(jnp.float32), self.momentum_base, self.momentum_epochs)
-        params_k = jax.tree.map(
-            lambda pk, pq: m * pk + (1.0 - m) * jax.lax.stop_gradient(pq),
-            ssl_state.params_k,
+        # The reference applies the EMA inside forward(), and training_step
+        # calls forward() twice (once per view order) — so the key encoder
+        # takes TWO momentum steps per training step: the first key pass
+        # sees one EMA application, the second sees two
+        # (upstream_expert.py:268 via :327-328).
+        ema = lambda pk: jax.tree.map(  # noqa: E731
+            lambda a, b: m * a + (1.0 - m) * jax.lax.stop_gradient(b),
+            pk,
             params["encoder"],
         )
 
@@ -98,13 +107,18 @@ class SSMast:
         if self.batched_views and not (self.shuffle_bn and axis_name is not None):
             # Batched-views fast path: MAST is LayerNorm-only (no cross-
             # sample stats), so encoding concat([v1, v2]) in ONE query pass
-            # and concat([v2, v1]) in ONE key pass is numerically identical
-            # to the reference's four sequential passes
-            # (upstream_expert.py:316-340) while halving pass count — the
-            # MViT pooled pyramid is small-matmul-bound at v5e batch sizes,
-            # so per-pass batch is what fills the MXU (PERF.md). The queue
-            # stays sequential: the second InfoNCE's negatives include the
-            # first view-order's keys, exactly as in the loop below.
+            # and concat([v2, v1]) in ONE key pass reproduces the
+            # reference's four sequential passes (upstream_expert.py:316-340)
+            # while halving pass count — the MViT pooled pyramid is
+            # small-matmul-bound at v5e batch sizes, so per-pass batch is
+            # what fills the MXU (PERF.md). The queue stays sequential: the
+            # second InfoNCE's negatives include the first view-order's
+            # keys, exactly as in the loop below. The only fold: both EMA
+            # steps are applied up front, so the first view order's keys
+            # see the key encoder half an EMA step early (the sequential
+            # path below is reference-exact; deviation is O((1-m)^2) per
+            # step and pinned against it in tests).
+            params_k = ema(ema(ssl_state.params_k))
             kq, kk = keys[0], keys[1]
             b = v1.shape[0]
             q12 = l2_normalize(
@@ -122,7 +136,10 @@ class SSMast:
             return total, LossAux(batch_stats=batch_stats, ssl_state=new_ssl, metrics=metrics)
 
         total = 0.0
+        params_k = ssl_state.params_k
         for i, (vq, vk) in enumerate(((v1, v2), (v2, v1))):
+            # reference-exact: one EMA application per forward pass
+            params_k = ema(params_k)
             q = l2_normalize(self._encode(params["encoder"], vq, keys[2 * i], train), axis=1)
             inv = None
             if self.shuffle_bn and axis_name is not None:
