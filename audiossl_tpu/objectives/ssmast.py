@@ -115,9 +115,15 @@ class SSMast:
             # second InfoNCE's negatives include the first view-order's
             # keys, exactly as in the loop below. The only fold: both EMA
             # steps are applied up front, so the first view order's keys
-            # see the key encoder half an EMA step early (the sequential
-            # path below is reference-exact; deviation is O((1-m)^2) per
-            # step and pinned against it in tests).
+            # see the key encoder half an EMA step (~(1-m) x one optimizer
+            # step of parameter drift) early. The carried state and all
+            # gradients-through-queries are unchanged, but the loss VALUE
+            # deviates a few percent per step once params_k trails params
+            # (depth + the 1/temperature scale amplify the tiny weight
+            # perturbation) — measured against the actual reference trainer
+            # in tests/test_reference_equiv_mast.py. The sequential path
+            # below is reference-exact; set batched_views: false for
+            # bit-level reference parity.
             params_k = ema(ema(ssl_state.params_k))
             kq, kk = keys[0], keys[1]
             b = v1.shape[0]

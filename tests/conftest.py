@@ -36,6 +36,7 @@ SLOW_MODULES = {
     "test_graft_entry",
     "test_multiprocess_pod",
     "test_reference_equiv",
+    "test_reference_equiv_mast",
 }
 
 
