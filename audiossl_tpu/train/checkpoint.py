@@ -36,7 +36,19 @@ _ASYNC: dict[str, ocp.AsyncCheckpointer] = {}
 def _async_ckptr(kind: str) -> ocp.AsyncCheckpointer:
     c = _ASYNC.get(kind)
     if c is None:
-        c = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        # barrier_sync_key_prefix: on pods the commit barrier key is
+        # otherwise 'async_write_complete' + the directory *basename* — the
+        # step number, identical for the concurrently-saving state/<step> and
+        # encoder/<step> writers. Without the per-kind prefix, host A's state
+        # barrier can be satisfied by host B's encoder thread, and the
+        # primary finalizes state/<step> before the other hosts' array
+        # metadata lands (ArrayMetadata validate_all_array_metadatas race).
+        c = ocp.AsyncCheckpointer(
+            ocp.StandardCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                barrier_sync_key_prefix=kind
+            ),
+        )
         _ASYNC[kind] = c
     return c
 

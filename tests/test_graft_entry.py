@@ -21,7 +21,7 @@ def test_dryrun_multichip_bare_invocation():
     proc = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
     )
     assert proc.returncode == 0, f"stderr:\n{proc.stderr[-2000:]}"
     assert "dryrun_multichip(8) OK" in proc.stdout

@@ -57,7 +57,9 @@ def test_two_process_pod_train_and_checkpoint(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=600)
+            # generous: on the 1-core CI box a concurrent compile elsewhere
+            # can stretch the ~60s happy path by several ×
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
