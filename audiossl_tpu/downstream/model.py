@@ -29,6 +29,10 @@ class DownstreamModel(nn.Module):
     input_tdim: int = 96  # frame count, needed by the transformer encoders
     model_size: str = "base"  # transformer variant (tiny | small | base)
     compute_dtype: jnp.dtype | None = None  # None = each encoder's default (bf16); f32 for exact serving parity
+    # AudioNTT encoder dropout override (None = the encoder's 0.3 default,
+    # src/encoder/audiontt.py's nn.Dropout(0.3)); 0.0 gives a deterministic
+    # fine-tune forward (reference-equivalence harness, exact-parity eval)
+    dropout_rate: float | None = None
     # PatchDrop ratio (reference src/augmentations/augmentations.py:64-79;
     # intended call site src/encoder/mast.py:208-217, commented out there).
     # Opt-in and AST-only: plain-ViT attention is permutation-safe over
@@ -45,6 +49,11 @@ class DownstreamModel(nn.Module):
                 "(the reference leaves it commented out there too, "
                 "src/encoder/mast.py:208-217)."
             )
+        if self.dropout_rate is not None and self.encoder_type != "AudioNTT2020Task6":
+            raise ValueError(
+                f"dropout_rate override applies to the AudioNTT encoder only; "
+                f"{self.encoder_type!r} uses droppath/attention-dropout knobs"
+            )
         if self.encoder_type == "AudioNTT2020Task6":
             enc = AudioNTT2020Task6(
                 n_mels=self.n_mels,
@@ -53,6 +62,7 @@ class DownstreamModel(nn.Module):
                 axis_name=self.axis_name,
                 name="encoder",
                 **({"compute_dtype": self.compute_dtype} if self.compute_dtype is not None else {}),
+                **({"dropout_rate": self.dropout_rate} if self.dropout_rate is not None else {}),
             )
             l1, l2, l3, x = enc(v, train)
             h = jnp.mean(x, axis=1) if self.finetune_layer == -1 else (l1, l2, l3)[self.finetune_layer]

@@ -37,6 +37,7 @@ SLOW_MODULES = {
     "test_multiprocess_pod",
     "test_reference_equiv",
     "test_reference_equiv_mast",
+    "test_reference_equiv_downstream",
 }
 
 
