@@ -45,10 +45,18 @@ def dino_loss(
     simplified: bool = True,
 ) -> tuple[jax.Array, DinoState]:
     """-> (loss, new_state). ``simplified=True`` matches the code path the
-    reference actually returns (dino_loss.py:49-53)."""
+    reference actually returns (dino_loss.py:49-53) exactly: RAW student
+    logits (the temperature-divided tensor is chunked but never used there),
+    raw teacher outputs, positive sign, and no centering. The reference's
+    live forward also never calls update_center (dino_loss.py:47 is
+    commented out), so its buffer stays zero; we advance the center state
+    anyway so the full variant is usable — with ``simplified=True`` the
+    center does not enter the loss, so this is a strict superset.
+    ``simplified=False`` is the commented-out published-DINO form for one
+    (student, teacher) view pair (dino_loss.py:37-46 + 55-65)."""
     teacher_out = jax.lax.stop_gradient(teacher_out)
     if simplified:
-        loss = jnp.mean(jnp.sum(teacher_out * jax.nn.log_softmax(student_out / student_temp, -1), -1))
+        loss = jnp.mean(jnp.sum(teacher_out * jax.nn.log_softmax(student_out, -1), -1))
     else:
         t = jax.nn.softmax((teacher_out - state.center) / teacher_temp, axis=-1)
         loss = jnp.mean(jnp.sum(-t * jax.nn.log_softmax(student_out / student_temp, -1), -1))

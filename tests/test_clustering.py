@@ -98,15 +98,72 @@ class TestUniformLabelEpoch:
 
 
 class TestDino:
-    def test_loss_and_center_update(self):
-        s = jnp.asarray(RNG.standard_normal((8, 16)).astype(np.float32))
-        t = jnp.asarray(RNG.standard_normal((8, 16)).astype(np.float32))
-        state = dino_init(16)
-        loss, new_state = dino_loss(s, t, state, teacher_temp=0.04, simplified=False)
-        assert np.isfinite(float(loss)) and float(loss) > 0
-        assert np.abs(np.asarray(new_state.center)).max() > 0
+    @staticmethod
+    def _load_reference_dino():
+        """Import the ACTUAL reference DINOLoss (extras/decar-v2/dino_loss.py)."""
+        import importlib.util
+        import os
+
+        path = "/root/reference/extras/decar-v2/dino_loss.py"
+        if not os.path.exists(path):
+            pytest.skip("reference checkout not present")
+        spec = importlib.util.spec_from_file_location("ref_dino_loss", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_simplified_matches_reference_forward(self):
+        """Our simplified=True path vs the reference's live forward
+        (dino_loss.py:24-53): raw student log_softmax, raw teacher, + sign,
+        no centering, center buffer untouched."""
+        import torch
+
+        mod = self._load_reference_dino()
+        ref = mod.DINOLoss(
+            out_dim=16, ncrops=2, warmup_teacher_temp=0.04, teacher_temp=0.07,
+            warmup_teacher_temp_epochs=10, nepochs=30,
+        )
+        s = RNG.standard_normal((8, 16)).astype(np.float32)
+        t = RNG.standard_normal((8, 16)).astype(np.float32)
+        ref_loss = ref(torch.tensor(s), torch.tensor(t), epoch=0).item()
+        loss, new_state = dino_loss(
+            jnp.asarray(s), jnp.asarray(t), dino_init(16), teacher_temp=0.04
+        )
+        np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5)
+        # reference never updates its center in the live path; ours advances
+        # the EMA state (unused by the simplified loss) — check it matches
+        # what the reference's update_center would do at world_size 1.
+        assert float(ref.center.abs().max()) == 0.0
+        expected = 0.1 * t.sum(0, keepdims=True) / t.shape[0]
+        np.testing.assert_allclose(np.asarray(new_state.center), expected, rtol=1e-5)
         sched = teacher_temp_schedule(0.04, 0.07, 10, 30)
-        assert len(sched) == 30 and sched[0] == 0.04 and sched[-1] == 0.07
+        ref_sched = ref.teacher_temp_schedule
+        np.testing.assert_allclose(sched, ref_sched, rtol=0)
+
+    def test_full_variant_matches_published_form(self):
+        """simplified=False vs a torch transcription of the commented-out
+        published-DINO block (dino_loss.py:37-46) for one view pair, with
+        the center applied and the update_center EMA (dino_loss.py:55-65)."""
+        import torch
+        import torch.nn.functional as F
+
+        s = RNG.standard_normal((8, 16)).astype(np.float32)
+        t = RNG.standard_normal((8, 16)).astype(np.float32)
+        center = RNG.standard_normal((1, 16)).astype(np.float32) * 0.1
+        student_temp, teacher_temp, m = 0.1, 0.04, 0.9
+
+        st = torch.tensor(s) / student_temp
+        q = F.softmax((torch.tensor(t) - torch.tensor(center)) / teacher_temp, dim=-1)
+        ref_loss = torch.sum(-q * F.log_softmax(st, dim=-1), dim=-1).mean().item()
+        ref_center = m * center + (1 - m) * t.sum(0, keepdims=True) / t.shape[0]
+
+        state = dino_init(16)._replace(center=jnp.asarray(center))
+        loss, new_state = dino_loss(
+            jnp.asarray(s), jnp.asarray(t), state, teacher_temp=teacher_temp,
+            student_temp=student_temp, center_momentum=m, simplified=False,
+        )
+        np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(new_state.center), ref_center, rtol=1e-5)
 
 
 class TestInstanceLoss:
