@@ -71,6 +71,40 @@ class TestMoE:
         ref, _ = _dense_reference(params, x, dropped=dropped)
         np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
 
+    def test_2d_dp_ep_mesh(self):
+        """EP composed with data parallelism: Mesh(('data', 2), ('expert', 4)).
+        Tokens shard over BOTH axes (each (d, e) device owns a distinct token
+        block); experts shard over 'expert' and replicate over 'data'."""
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        n_exp, n_data, n_ep = 8, 2, 4
+        params = init_moe_params(jax.random.key(3), D, H, n_exp)
+        n = 8 * n_data * n_ep
+        x = jnp.asarray(0.7 * RNG.standard_normal((n, D)), jnp.float32)
+        devs = np.asarray(jax.devices()[:8]).reshape(n_data, n_ep)
+        mesh = Mesh(devs, ("data", EXPERT_AXIS))
+        specs = {
+            "router": P(),
+            "w1": P(EXPERT_AXIS), "b1": P(EXPERT_AXIS),
+            "w2": P(EXPERT_AXIS), "b2": P(EXPERT_AXIS),
+        }
+        def f(p, xl):
+            out, aux = moe_ffn(p, xl, capacity=n // n_ep, axis=EXPERT_AXIS)
+            # per-data-row Switch loss -> global-batch mean
+            return out, jax.lax.pmean(aux, "data")
+
+        out, aux = jax.jit(
+            jax.shard_map(
+                f, mesh=mesh,
+                in_specs=(specs, P(("data", EXPERT_AXIS))),
+                out_specs=(P(("data", EXPERT_AXIS)), P()),
+                check_vma=False,
+            )
+        )(params, x)
+        ref, _ = _dense_reference(params, x)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+        assert np.isfinite(float(aux))
+
     def test_router_receives_gradient(self):
         n_exp, n_dev = 4, 4
         params = init_moe_params(jax.random.key(2), D, H, n_exp)

@@ -84,6 +84,34 @@ class TestPipelineGrad:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5)
 
 
+class TestPipelineRemat:
+    def test_checkpointed_stage_matches(self):
+        """The documented remat hook: jax.checkpoint(stage_fn) must leave
+        fwd and grads unchanged while dropping per-tick activations."""
+        stages = 4
+        blocks, x = _blocks_and_input(depth=stages, n_micro=4)
+        stacked = stack_stage_params(blocks)
+        mesh = make_pipe_mesh(stages)
+        tgt = jnp.asarray(RNG.standard_normal(x.shape), jnp.float32)
+
+        def make_loss(stage_fn):
+            def loss(p, xin):
+                fn = jax.shard_map(
+                    lambda pl_, xl: pipeline_forward(stage_fn, pl_, xl),
+                    mesh=mesh, in_specs=(P(PIPE_AXIS), P()), out_specs=P(),
+                    check_vma=False,
+                )
+                return jnp.mean((fn(p, xin) - tgt) ** 2)
+            return loss
+
+        plain = lambda q, a: vit_block(q, a, HEADS)
+        l0, g0 = jax.jit(jax.value_and_grad(make_loss(plain)))(stacked, x)
+        l1, g1 = jax.jit(jax.value_and_grad(make_loss(jax.checkpoint(plain))))(stacked, x)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
 class TestPipelineWithDataParallel:
     def test_2d_dp_pp_mesh(self):
         # (data=2, pipe=4): batch halves ride the data axis, stages the pipe
