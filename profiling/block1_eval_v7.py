@@ -1,0 +1,151 @@
+"""v7: kill the 1.6 ms epilogue relayout by writing the pooled output in
+its consumer layout from inside the kernel.
+
+v6c pinned the cost: complete kernel 2.40 ms, +1.63 ms for the XLA-side
+reshape [b*tpc, L] -> [B, tpc, F/2, C] (lane repack 2048 -> (32, 64),
+two HBM passes over 192 MB at relayout-gather speed). If Mosaic can do
+that repack in VMEM per block, HBM sees the final layout once.
+
+Variants:
+  r3d  — out_shape [b*tpc, F/2, C], in-kernel o.reshape(rt, 32, 64)
+  r4d  — out_shape [B, tpc, F/2, C], in-kernel o.reshape(bt, tpc, 32, 64)
+Each compared against: base2d (+XLA reshape) and plain XLA eval. The sum
+in timeit is taken on the 4-D view for all variants so every path ends at
+the same logical tensor.
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from audiossl_tpu.ops import block1 as b1
+from profiling.block1_eval_v6 import pack_weights
+
+B, T, F, C = 1024, 96, 64, 64
+L = (F // 2) * C
+WARMUP, ITERS = 3, 30
+
+
+def timeit(name, fn, *args):
+    for _ in range(WARMUP):
+        out = fn(*args)
+    float(jnp.sum(out))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fn(*args)
+    float(jnp.sum(out))
+    dt = (time.perf_counter() - t0) / ITERS
+    print(f"{name:40s} {dt*1e3:7.3f} ms  {B/dt:10,.0f} clips/s")
+    return dt
+
+
+def _kernel(x_ref, mt_ref, mb_ref, sh_ref, out_ref, *, tpc, mode):
+    xs1 = x_ref[:]
+    n = xs1.shape[0]
+    xf = xs1.astype(jnp.float32)
+    tr = jax.lax.broadcasted_iota(jnp.int32, xs1.shape, 0) % tpc
+    xs0 = jnp.where(tr == 0, 0, pltpu.roll(xf, 1, 0)).astype(xs1.dtype)
+    xs2 = jnp.where(tr == tpc - 1, 0, pltpu.roll(xf, n - 1, 0)).astype(xs1.dtype)
+    dot = partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    mt, mb = mt_ref[:], mb_ref[:]
+    lw = mt.shape[1] // 2
+    o = None
+    for ks, (a_op, b_op) in enumerate(((xs0, xs1), (xs1, xs2))):
+        y = dot(a_op, mt[:, ks * lw : (ks + 1) * lw]) + dot(
+            b_op, mb[:, ks * lw : (ks + 1) * lw]
+        )
+        for h in range(2):
+            yh = y[:, h * L : (h + 1) * L]
+            o = yh if o is None else jnp.maximum(o, yh)
+    o = jnp.maximum(o + sh_ref[0:1, :], 0.0).astype(out_ref.dtype)
+    if mode == "2d":
+        out_ref[:] = o
+    elif mode == "3d":
+        out_ref[:] = o.reshape(out_ref.shape)
+    else:  # 4d
+        out_ref[:] = o.reshape(out_ref.shape)
+
+
+def run(xr, mt, mb, shift, bt, mode):
+    tpc = T // 2
+    rt = bt * tpc
+    in_specs = [
+        pl.BlockSpec((rt, 2 * F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * F, 4 * L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * F, 4 * L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if mode == "2d":
+        out_shape = jax.ShapeDtypeStruct((B * tpc, L), xr.dtype)
+        out_spec = pl.BlockSpec((rt, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    elif mode == "3d":
+        out_shape = jax.ShapeDtypeStruct((B * tpc, F // 2, C), xr.dtype)
+        out_spec = pl.BlockSpec((rt, F // 2, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((B, tpc, F // 2, C), xr.dtype)
+        out_spec = pl.BlockSpec((bt, tpc, F // 2, C), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    (out,) = pl.pallas_call(
+        partial(_kernel, tpc=tpc, mode=mode),
+        out_shape=[out_shape],
+        grid=(B // bt,),
+        in_specs=in_specs,
+        out_specs=[out_spec],
+    )(xr, mt, mb, shift)
+    return out.reshape(B, tpc, F // 2, C)
+
+
+def main():
+    print("backend:", jax.default_backend())
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, T, F)), jnp.bfloat16)
+    kernel = jnp.asarray(0.1 * rng.standard_normal((3, 3, 1, C)), jnp.float32)
+    cbias = jnp.asarray(0.01 * rng.standard_normal((C,)), jnp.float32)
+    gamma = jnp.asarray(1.0 + 0.1 * rng.standard_normal((C,)), jnp.float32)
+    beta = jnp.asarray(0.1 * rng.standard_normal((C,)), jnp.float32)
+    mean = jnp.asarray(0.05 * rng.standard_normal((C,)), jnp.float32)
+    var = jnp.asarray(1.0 + 0.1 * rng.standard_normal((C,)), jnp.float32)
+
+    @jax.jit
+    def xla_eval(x):
+        y = jax.lax.conv_general_dilated(
+            x[..., None], kernel.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + cbias.astype(x.dtype)
+        yn = (y.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + b1.BN_EPS) * gamma + beta
+        y = nn.relu(yn.astype(x.dtype))
+        return nn.max_pool(y, (2, 2), (2, 2))
+
+    a = xla_eval(x).reshape(B, T // 2, F // 2, C)
+
+    mt, mb, shift = jax.jit(partial(pack_weights, f=F, dtype=x.dtype))(
+        kernel, cbias, gamma, beta, mean, var
+    )
+    mt, mb, shift = jax.block_until_ready((mt, mb, shift))
+    xr = x.reshape(B * (T // 2), 2 * F)
+
+    timeit("XLA eval block1", xla_eval, x)
+    for mode in ("2d", "3d", "4d"):
+        for bt in (4,):
+            try:
+                fn = jax.jit(partial(run, bt=bt, mode=mode))
+                out = fn(xr, mt, mb, shift)
+                err = float(jnp.max(jnp.abs(a.astype(jnp.float32) - out.astype(jnp.float32))))
+                print(f"{mode} bt={bt}: max abs diff vs XLA = {err:.3e}")
+                timeit(f"{mode} bt={bt}", fn, xr, mt, mb, shift)
+            except Exception as e:  # noqa: BLE001 — Mosaic may reject the reshape
+                print(f"{mode} bt={bt}: FAILED {type(e).__name__}: {str(e)[:160]}")
+
+
+if __name__ == "__main__":
+    main()
