@@ -37,6 +37,7 @@ from audiossl_tpu.ops.masking import spec_mask_batch
 from audiossl_tpu.ops.stats import precomputed_norm
 from audiossl_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_batch
 from audiossl_tpu.train import checkpoint as ckptmod
+from audiossl_tpu.train.accum import microbatched_value_and_grad
 from audiossl_tpu.train.layer_decay import adamw_layer_decay
 from audiossl_tpu.utils.metrics import auc_roc, d_prime, mean_average_precision
 
@@ -54,12 +55,14 @@ class MASTClassifier(nn.Module):
     input_tdim: int = 1024
     model_size: str = "base"
     remat: bool = False
+    droppath_rate: float | None = None  # None = variant default
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         z = MASTEncoder(
             input_fdim=self.input_fdim, input_tdim=self.input_tdim,
-            model_size=self.model_size, remat=self.remat, name="mast",
+            model_size=self.model_size, remat=self.remat,
+            droppath_rate=self.droppath_rate, name="mast",
         )(x, train)
         z = nn.LayerNorm(epsilon=1e-5, name="head_norm", dtype=jnp.float32)(z)
         return nn.Dense(self.num_classes, name="head", dtype=z.dtype)(z)
@@ -152,6 +155,9 @@ def train_finetune_mast(
         input_tdim=int(inp["target_length"]),
         model_size=model_size,
         remat=bool(ft.get("remat", False)),
+        droppath_rate=(
+            float(ft["droppath_rate"]) if ft.get("droppath_rate") is not None else None
+        ),
     )
     dummy = jnp.zeros((2, int(inp.get("n_mels", 128)), int(inp["target_length"]), 1), jnp.float32)
     variables = jax.jit(lambda k: model.init({"params": k}, dummy, False))(jax.random.key(seed))
@@ -168,22 +174,32 @@ def train_finetune_mast(
     opt_state = tx.init(params)
 
     mixup_rate = float(inp.get("mixup", 0.0) or 0.0)
+    # grad accumulation (train/accum.py): A sequential microbatches per
+    # optimizer update — exact for this per-sample BCE through a LayerNorm
+    # model; the memory lever for MViT-base at reference batch sizes.
+    accum = max(1, int(run.get("grad_accum_steps", 1)))
+    if batch // n_dev % accum:
+        raise ValueError(
+            f"per-chip batch {batch // n_dev} not divisible by grad_accum_steps {accum}"
+        )
 
-    def train_step(params, opt_state, waves, targets, key):
-        if waves.dtype == jnp.int16:
-            waves = waves.astype(jnp.float32) / 32768.0
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+    def micro_loss(p, mb, key):
+        waves, targets = mb
         if mixup_rate > 0.0:
             key, k_mix = jax.random.split(key)
             waves, targets = mixup_waves_and_labels(waves, targets, k_mix, mixup_rate)
         key, k_drop = jax.random.split(key)
         x = _prepare_input(ft, waves, key, True)
+        logits = model.apply({"params": p}, x, True, rngs={"dropout": k_drop})
+        return bce_logits(logits, targets)
 
-        def loss_fn(p):
-            logits = model.apply({"params": p}, x, True, rngs={"dropout": k_drop})
-            return bce_logits(logits, targets)
+    grad_fn = microbatched_value_and_grad(micro_loss, accum)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+    def train_step(params, opt_state, waves, targets, key):
+        if waves.dtype == jnp.int16:
+            waves = waves.astype(jnp.float32) / 32768.0
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        loss, grads = grad_fn(params, (waves, targets), key)
         grads = jax.lax.pmean(grads, axis)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, jax.lax.pmean(loss, axis)
@@ -288,6 +304,8 @@ def main():
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--grad_accum_steps", type=int, default=None,
+                   help="microbatches per optimizer update (memory lever)")
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
@@ -296,6 +314,8 @@ def main():
         config["run"]["epochs"] = args.epochs
     if args.batch_size is not None:
         config["run"]["batch_size"] = args.batch_size
+    if args.grad_accum_steps is not None:
+        config["run"]["grad_accum_steps"] = args.grad_accum_steps
     _, stats, ckpt_dir = train_finetune_mast(
         config, args.train_json, args.label_csv, eval_json=args.eval_json,
         load_checkpoint=args.load_checkpoint, max_steps=args.max_steps,
