@@ -55,6 +55,19 @@ class SSMast:
         # (exact for the LayerNorm-only MAST; see loss); False restores the
         # reference's four sequential passes
         self.batched_views = bool(pre.get("batched_views", True))
+        # A sequential microbatches per optimizer step (train/accum.py
+        # rationale): the memory lever for reference batch sizes (256-1024,
+        # extras/mast_new/mast/1024_pretrain.sh) on a 16 GB v5e — cheaper
+        # than remat (no recompute; PERF.md). Queue-negative InfoNCE is
+        # per-sample-decomposable and keys carry no gradient, so loss,
+        # grads, and carried MoCo state are EXACT for both view paths; see
+        # value_and_grad.
+        self.grad_accum = max(1, int(pre.get("grad_accum_steps", 1)))
+        if self.grad_accum > 1 and self.shuffle_bn:
+            # shuffle-BN is a numeric no-op for the LayerNorm-only MAST
+            # (no cross-sample stats); refuse the combination rather than
+            # silently dropping the permutation inside the microbatch scan
+            raise ValueError("pretrain.grad_accum_steps > 1 is incompatible with shuffle_bn")
         inp = pre["input"]
         self.encoder = MASTWithHead(
             output_dim=self.emb_dim,
@@ -166,6 +179,144 @@ class SSMast:
         new_ssl = MocoV3State(params_k=params_k, queue=queue, queue_ptr=ptr, step=ssl_state.step + 1)
         metrics = {"train_loss": total, "moco_momentum": m}
         return total, LossAux(batch_stats=batch_stats, ssl_state=new_ssl, metrics=metrics)
+
+    def value_and_grad(self, params, batch_stats, ssl_state: MocoV3State, views, key, train=True, axis_name=None):
+        """((loss, aux), grads) — the step-level hook train/step.py prefers
+        over plain ``jax.value_and_grad(loss)`` when an objective defines it.
+
+        With ``pretrain.grad_accum_steps == 1`` this IS plain value_and_grad
+        of :meth:`loss`. With A > 1 the per-chip batch is split into A
+        microbatches run sequentially under ``lax.scan`` (one microbatch's
+        activations live at a time; grads accumulate in f32), giving the
+        reference's large-batch semantics (upstream_expert.py:316-340 at
+        batch 256-1024) within a 16 GB chip without remat's recompute:
+
+        Both paths are EXACT vs their monolithic counterpart (same loss,
+        grads, queue slots, pointer, EMA tower — up to f32 summation order;
+        tests/test_ssmast_accum.py):
+
+        * ``batched_views: false`` — pass 1 applies one EMA step, scans all
+          A microbatches against the step's initial queue, then bulk-enqueues
+          all pass-1 keys (batch order preserved); pass 2 likewise. This is
+          the reference's four-pass semantics at any A.
+        * ``batched_views: true`` (default) — keys carry no gradient, so a
+          first scan runs all A momentum-key concat passes and builds the
+          two queue snapshots exactly as the monolithic fast path does
+          (pass-1 InfoNCE vs the initial queue, pass-2 vs the post-pass-1
+          queue); a second scan runs the query fwd+bwd per microbatch
+          against those fixed snapshots. Total pass count is unchanged
+          (one key fwd + one query fwd/bwd per sample) and only one
+          microbatch's activations are ever live.
+
+        Per-microbatch RNG is ``fold_in(key, pass*A + j)`` so dropout draws
+        differ from the monolithic path (stochastic-train-only effect; with
+        dropout off the paths are bit-identical up to summation order).
+        """
+        if self.grad_accum == 1:
+            return jax.value_and_grad(
+                lambda p: self.loss(p, batch_stats, ssl_state, views, key, train, axis_name),
+                has_aux=True,
+            )(params)
+
+        accum = self.grad_accum
+        v1, v2 = views[:2]
+        b = v1.shape[0]
+        if b % accum:
+            raise ValueError(
+                f"per-chip batch {b} not divisible by pretrain.grad_accum_steps {accum}"
+            )
+        mb = b // accum
+        split = lambda v: v.reshape(accum, mb, *v.shape[1:])  # noqa: E731
+        mv1, mv2 = split(v1), split(v2)
+        mkeys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(2 * accum))
+
+        epoch = ssl_state.step // self.steps_per_epoch
+        m = cosine_momentum((epoch + 1).astype(jnp.float32), self.momentum_base, self.momentum_epochs)
+        ema = lambda pk: jax.tree.map(  # noqa: E731
+            lambda a, q: m * a + (1.0 - m) * jax.lax.stop_gradient(q), pk, params["encoder"]
+        )
+        g0 = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        l0 = jnp.zeros((), jnp.float32)
+
+        def acc(g_acc, gj):
+            return jax.tree.map(lambda a, g: a + g.astype(jnp.float32) / accum, g_acc, gj)
+
+        if self.batched_views:
+            params_k = ema(ema(ssl_state.params_k))
+
+            # phase 1 — momentum-key concat passes (keys carry no grads):
+            # scanned so one microbatch's key activations are live at a time
+            def key_body(_, xs):
+                v1j, v2j, kj = xs
+                _, kk = jax.random.split(kj)
+                k21 = l2_normalize(
+                    self._encode(params_k, jnp.concatenate([v2j, v1j]), kk, train), axis=1
+                )
+                return None, jax.lax.stop_gradient(k21)
+
+            _, ks = jax.lax.scan(key_body, None, (mv1, mv2, mkeys[:accum]))  # [A, 2mb, d]
+            # the monolithic fast path's two queue snapshots, built from the
+            # bulk pass-1/pass-2 keys (microbatches are contiguous batch
+            # slices, so reshape restores batch order)
+            queue0 = ssl_state.queue
+            q1, p1 = queue_update(queue0, ssl_state.queue_ptr, ks[:, :mb].reshape(b, -1), axis_name)
+            queue, ptr = queue_update(q1, p1, ks[:, mb:].reshape(b, -1), axis_name)
+
+            # phase 2 — query fwd+bwd per microbatch against the SAME fixed
+            # snapshots the monolithic path uses (pass 1 vs queue0, pass 2
+            # vs q1): loss/grads/state match it exactly, and total pass
+            # count is unchanged (one key fwd + one query fwd/bwd per clip)
+            def body(carry, xs):
+                g_acc, loss_acc = carry
+                v1j, v2j, kj, k21j = xs
+                kq, _ = jax.random.split(kj)
+
+                def mloss(p):
+                    q12 = l2_normalize(
+                        self._encode(p["encoder"], jnp.concatenate([v1j, v2j]), kq, train), axis=1
+                    )
+                    return info_nce(q12[:mb], k21j[:mb], queue0, self.temperature) + info_nce(
+                        q12[mb:], k21j[mb:], q1, self.temperature
+                    )
+
+                lj, gj = jax.value_and_grad(mloss)(params)
+                return (acc(g_acc, gj), loss_acc + lj / accum), None
+
+            (grads, loss), _ = jax.lax.scan(body, (g0, l0), (mv1, mv2, mkeys[:accum], ks))
+        else:
+            queue, ptr = ssl_state.queue, ssl_state.queue_ptr
+            params_k = ssl_state.params_k
+            grads, loss = g0, l0
+            for i, (vq_s, vk_s) in enumerate(((mv1, mv2), (mv2, mv1))):
+                params_k = ema(params_k)  # one EMA application per pass, as in loss()
+                fixed_queue = queue
+
+                def body(carry, xs, params_k=params_k, fixed_queue=fixed_queue):
+                    g_acc, loss_acc = carry
+                    vqj, vkj, kj = xs
+                    kq, kk = jax.random.split(kj)
+
+                    def mloss(p):
+                        q = l2_normalize(self._encode(p["encoder"], vqj, kq, train), axis=1)
+                        k = jax.lax.stop_gradient(
+                            l2_normalize(self._encode(params_k, vkj, kk, train), axis=1)
+                        )
+                        return info_nce(q, k, fixed_queue, self.temperature), k
+
+                    (lj, kout), gj = jax.value_and_grad(mloss, has_aux=True)(params)
+                    return (acc(g_acc, gj), loss_acc + lj / accum), kout
+
+                (grads, loss), ks = jax.lax.scan(
+                    body, (grads, loss), (vq_s, vk_s, mkeys[i * accum:(i + 1) * accum])
+                )
+                # bulk enqueue in batch order — exactly the reference's
+                # single full-batch write after each pass
+                queue, ptr = queue_update(queue, ptr, ks.reshape(b, -1), axis_name)
+
+        grads = jax.tree.map(lambda g, p: g.astype(p.dtype), grads, params)
+        new_ssl = MocoV3State(params_k=params_k, queue=queue, queue_ptr=ptr, step=ssl_state.step + 1)
+        metrics = {"train_loss": loss, "moco_momentum": m}
+        return (loss, LossAux(batch_stats=batch_stats, ssl_state=new_ssl, metrics=metrics)), grads
 
     def encoder_variables(self, params, batch_stats):
         # MAST trunk only (under the MASTWithHead wrapper)

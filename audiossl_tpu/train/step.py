@@ -100,12 +100,22 @@ def make_train_step(
         )
         views = (v1, v2) if labels is None else (v1, v2, labels)
 
-        def loss_fn(params):
-            return objective.loss(
-                params, state.batch_stats, state.ssl_state, views, k_loss, True, axis
+        # objectives may provide their own value_and_grad (SS-MAST's exact
+        # gradient accumulation, objectives/ssmast.py) — the default is
+        # plain jax.value_and_grad over the pure loss
+        vg = getattr(objective, "value_and_grad", None)
+        if vg is not None:
+            (loss, aux), grads = vg(
+                state.params, state.batch_stats, state.ssl_state, views, k_loss, True, axis
             )
+        else:
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            def loss_fn(params):
+                return objective.loss(
+                    params, state.batch_stats, state.ssl_state, views, k_loss, True, axis
+                )
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         if zero:
             from audiossl_tpu.train.zero import zero_update
 

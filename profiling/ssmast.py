@@ -15,10 +15,11 @@ from audiossl_tpu.train.step import init_train_state, make_train_step
 CLIP = 160000  # 10 s
 
 
-def bench(batch, iters=10):
+def bench(batch, accum=1, iters=10):
     mesh = make_mesh()
     config = load_config(None, "ssmast")
     config["run"]["batch_size"] = batch
+    config["pretrain"]["grad_accum_steps"] = accum
     obj = get_objective("ssmast")(config)
     pre = config["pretrain"]
     pipe = AugmentPipeline(AugmentConfig.from_dict(pre), epoch_samples=10**6)
@@ -42,11 +43,16 @@ def bench(batch, iters=10):
         state, metrics = step(state, waves)
     float(metrics["train_loss"])
     dt = (time.perf_counter() - t0) / iters
-    print(f"ssmast B={batch}: {dt*1e3:.1f} ms/step  ({batch/dt:.0f} clips/s)", flush=True)
+    print(
+        f"ssmast B={batch} accum={accum}: {dt*1e3:.1f} ms/step  ({batch/dt:.0f} clips/s)",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
     import sys
 
-    for b in [int(a) for a in sys.argv[1:]] or [64, 128]:
-        bench(b)
+    # args: B or BxA (e.g. 256x4 = batch 256 in 4 microbatches)
+    specs = [(a.split("x") + ["1"])[:2] for a in sys.argv[1:]] or [("64", "1"), ("128", "1")]
+    for b, a in specs:
+        bench(int(b), int(a))
