@@ -15,11 +15,12 @@ from audiossl_tpu.train.step import init_train_state, make_train_step
 CLIP = 160000  # 10 s
 
 
-def bench(batch, accum=1, iters=10):
+def bench(batch, accum=1, remat=False, iters=10):
     mesh = make_mesh()
     config = load_config(None, "ssmast")
     config["run"]["batch_size"] = batch
     config["pretrain"]["grad_accum_steps"] = accum
+    config["pretrain"]["remat"] = remat
     obj = get_objective("ssmast")(config)
     pre = config["pretrain"]
     pipe = AugmentPipeline(AugmentConfig.from_dict(pre), epoch_samples=10**6)
@@ -43,8 +44,9 @@ def bench(batch, accum=1, iters=10):
         state, metrics = step(state, waves)
     float(metrics["train_loss"])
     dt = (time.perf_counter() - t0) / iters
+    tag = " remat" if remat else ""
     print(
-        f"ssmast B={batch} accum={accum}: {dt*1e3:.1f} ms/step  ({batch/dt:.0f} clips/s)",
+        f"ssmast B={batch} accum={accum}{tag}: {dt*1e3:.1f} ms/step  ({batch/dt:.0f} clips/s)",
         flush=True,
     )
 
@@ -52,7 +54,9 @@ def bench(batch, accum=1, iters=10):
 if __name__ == "__main__":
     import sys
 
-    # args: B or BxA (e.g. 256x4 = batch 256 in 4 microbatches)
-    specs = [(a.split("x") + ["1"])[:2] for a in sys.argv[1:]] or [("64", "1"), ("128", "1")]
-    for b, a in specs:
-        bench(int(b), int(a))
+    # args: B, BxA (batch B in A microbatches), or a trailing "r" for remat
+    # (e.g. 256x4, 256r)
+    for a in sys.argv[1:] or ["64", "128"]:
+        remat = a.endswith("r")
+        b, _, acc = a.rstrip("r").partition("x")
+        bench(int(b), int(acc or 1), remat)
