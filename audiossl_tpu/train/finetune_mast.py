@@ -56,13 +56,15 @@ class MASTClassifier(nn.Module):
     model_size: str = "base"
     remat: bool = False
     droppath_rate: float | None = None  # None = variant default
+    compute_dtype: jnp.dtype | None = jnp.bfloat16  # None = exact f32 trunk
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         z = MASTEncoder(
             input_fdim=self.input_fdim, input_tdim=self.input_tdim,
             model_size=self.model_size, remat=self.remat,
-            droppath_rate=self.droppath_rate, name="mast",
+            droppath_rate=self.droppath_rate, compute_dtype=self.compute_dtype,
+            name="mast",
         )(x, train)
         z = nn.LayerNorm(epsilon=1e-5, name="head_norm", dtype=jnp.float32)(z)
         return nn.Dense(self.num_classes, name="head", dtype=z.dtype)(z)
@@ -158,6 +160,9 @@ def train_finetune_mast(
         droppath_rate=(
             float(ft["droppath_rate"]) if ft.get("droppath_rate") is not None else None
         ),
+        # finetune.compute_dtype: "f32" for an exact trunk (parity tests),
+        # default bf16 compute / f32 LN stats
+        compute_dtype=(None if ft.get("compute_dtype") == "f32" else jnp.bfloat16),
     )
     dummy = jnp.zeros((2, int(inp.get("n_mels", 128)), int(inp["target_length"]), 1), jnp.float32)
     variables = jax.jit(lambda k: model.init({"params": k}, dummy, False))(jax.random.key(seed))
@@ -195,21 +200,56 @@ def train_finetune_mast(
 
     grad_fn = microbatched_value_and_grad(micro_loss, accum)
 
-    def train_step(params, opt_state, waves, targets, key):
-        if waves.dtype == jnp.int16:
-            waves = waves.astype(jnp.float32) / 32768.0
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-        loss, grads = grad_fn(params, (waves, targets), key)
-        grads = jax.lax.pmean(grads, axis)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, jax.lax.pmean(loss, axis)
+    # run.fsdp: GSPMD fully sharded variant (parallel/fsdp.py) — params,
+    # grads and the AdamW moments live 1/n per chip; XLA inserts the
+    # per-use all-gathers and grad reduce-scatters. Step math is identical
+    # to the shard_map path (micro_loss's jnp.mean is already the
+    # global-batch mean under GSPMD; the layer-decay masks and global-norm
+    # clip see logically whole tensors). RNG differs benignly: one global
+    # key per step instead of the shard_map path's per-device fold_in —
+    # same draw distribution, different draws (with augs off the two paths
+    # produce identical losses, tests/test_finetune_mast.py).
+    fsdp = bool(run.get("fsdp", False))
+    p_sh = o_sh = None
+    if fsdp:
+        from audiossl_tpu.parallel.fsdp import tree_shardings
 
-    train_step = jax.jit(
-        shard_map(train_step, mesh=mesh,
-                  in_specs=(P(), P(), P(axis), P(axis), P()),
-                  out_specs=(P(), P(), P()), check_vma=False),
-        donate_argnums=(0, 1),  # params/opt_state update in place
-    )
+        p_sh = tree_shardings(params, mesh, axis)
+        o_sh = tree_shardings(jax.eval_shape(tx.init, params), mesh, axis)
+        batch_sh = NamedSharding(mesh, P(axis))
+        repl_sh = NamedSharding(mesh, P())
+
+        def step_fsdp(params, opt_state, waves, targets, key):
+            if waves.dtype == jnp.int16:
+                waves = waves.astype(jnp.float32) / 32768.0
+            loss, grads = grad_fn(params, (waves, targets), key)
+            grads = jax.lax.with_sharding_constraint(grads, p_sh)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        train_step = jax.jit(
+            step_fsdp,
+            in_shardings=(p_sh, o_sh, batch_sh, batch_sh, repl_sh),
+            out_shardings=(p_sh, o_sh, repl_sh),
+            donate_argnums=(0, 1),
+        )
+    else:
+
+        def train_step(params, opt_state, waves, targets, key):
+            if waves.dtype == jnp.int16:
+                waves = waves.astype(jnp.float32) / 32768.0
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+            loss, grads = grad_fn(params, (waves, targets), key)
+            grads = jax.lax.pmean(grads, axis)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, jax.lax.pmean(loss, axis)
+
+        train_step = jax.jit(
+            shard_map(train_step, mesh=mesh,
+                      in_specs=(P(), P(), P(axis), P(axis), P()),
+                      out_specs=(P(), P(), P()), check_vma=False),
+            donate_argnums=(0, 1),  # params/opt_state update in place
+        )
 
     def eval_fn(params, waves):
         if waves.dtype == jnp.int16:
@@ -217,10 +257,17 @@ def train_finetune_mast(
         x = _prepare_input(ft, waves, None, False)
         return jax.nn.sigmoid(model.apply({"params": params}, x, False))
 
-    eval_step = jax.jit(
-        shard_map(eval_fn, mesh=mesh, in_specs=(P(), P(axis)), out_specs=P(axis),
-                  check_vma=False)
-    )
+    if fsdp:
+        eval_step = jax.jit(
+            eval_fn,
+            in_shardings=(p_sh, NamedSharding(mesh, P(axis))),
+            out_shardings=NamedSharding(mesh, P(axis)),
+        )
+    else:
+        eval_step = jax.jit(
+            shard_map(eval_fn, mesh=mesh, in_specs=(P(), P(axis)), out_specs=P(axis),
+                      check_vma=False)
+        )
 
     repl = NamedSharding(mesh, P())
     params, opt_state = jax.tree.map(lambda a: jax.device_put(a, repl), (params, opt_state))
@@ -230,6 +277,11 @@ def train_finetune_mast(
         )
         params, opt_state = restored["params"], restored["opt_state"]
         log.info("resumed from %s", load_checkpoint)
+    if fsdp:
+        # re-place the (replicated) state into its sharded layout; from here
+        # on params/moments never exist whole on any one chip
+        params = jax.device_put(params, p_sh)
+        opt_state = jax.device_put(opt_state, o_sh)
 
     def evaluate():
         scores, targets = [], []
@@ -306,6 +358,8 @@ def main():
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--grad_accum_steps", type=int, default=None,
                    help="microbatches per optimizer update (memory lever)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="fully shard params/grads/moments over the mesh (GSPMD)")
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
@@ -316,6 +370,8 @@ def main():
         config["run"]["batch_size"] = args.batch_size
     if args.grad_accum_steps is not None:
         config["run"]["grad_accum_steps"] = args.grad_accum_steps
+    if args.fsdp:
+        config["run"]["fsdp"] = True
     _, stats, ckpt_dir = train_finetune_mast(
         config, args.train_json, args.label_csv, eval_json=args.eval_json,
         load_checkpoint=args.load_checkpoint, max_steps=args.max_steps,

@@ -106,3 +106,43 @@ def test_finetune_smoke_with_eval(audioset_style_data, tmp_path):
     from audiossl_tpu.train import checkpoint as ckpt
 
     assert ckpt.latest_step(ckpt_dir) is not None
+
+
+def test_finetune_fsdp_matches_shard_map(audioset_style_data, tmp_path):
+    """run.fsdp (GSPMD fully sharded) reproduces the shard_map path's loss
+    trajectory exactly when the stochastic augs are off (same batches via
+    the same loader seed; droppath/mixup/masking/noise disabled), and the
+    returned params are physically sharded over the mesh."""
+    from audiossl_tpu.train.finetune_mast import train_finetune_mast
+
+    def cfg(save, fsdp):
+        return {
+            "run": {
+                "batch_size": 8, "epochs": 1, "num_dataloader_workers": 1,
+                "learning_rate": 1e-3, "layer_decay": 0.75, "weight_decay": 0.05,
+                "clip_grad_norm": 1.0, "save_path": os.path.join(str(tmp_path), save),
+                "fsdp": fsdp,
+            },
+            "finetune": {
+                "model_size": "tiny", "droppath_rate": 0.0,
+                "compute_dtype": "f32",  # exact trunk: bf16 would add ~1e-3
+                # cross-compile reassociation noise between the two paths
+                "freqm": 0, "timem": 0,
+                "norm_stats": {"mean": -13.9, "std": 5.3},
+                "input": {
+                    "type": "fbank", "sampling_rate": 16000, "length_wave": 0.5,
+                    "n_mels": 64, "target_length": 48, "mixup": 0.0, "noise": False,
+                },
+            },
+        }
+
+    args = (
+        str(audioset_style_data / "train.json"),
+        str(audioset_style_data / "labels.csv"),
+    )
+    _, stats_ref, _ = train_finetune_mast(cfg("ref", False), *args, max_steps=2)
+    params_f, stats_f, _ = train_finetune_mast(cfg("fsdp", True), *args, max_steps=2)
+
+    np.testing.assert_allclose(stats_f["train_loss"], stats_ref["train_loss"], rtol=1e-5)
+    specs = [l.sharding.spec for l in jax.tree.leaves(params_f)]
+    assert any("data" in s for s in specs), "no param leaf is mesh-sharded"

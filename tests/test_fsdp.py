@@ -192,3 +192,56 @@ class TestRealEncoder:
         # MLP kernels pass min_size and have an 8-divisible axis)
         block_specs = [l.sharding.spec for l in jax.tree.leaves(sp["enc"]["block0"])]
         assert any("data" in spec for spec in block_specs)
+
+
+class TestAccumComposition:
+    def test_microbatched_grads_under_fsdp(self):
+        """grad accumulation (train/accum.py) composes with the GSPMD FSDP
+        step: scanned microbatch slices of the globally-sharded batch give
+        the same update as the full-batch FSDP step."""
+        from audiossl_tpu.train.accum import microbatched_value_and_grad
+
+        tx = optax.adamw(1e-2)
+        params = mlp_params()
+        batch = make_batch(b=32)
+        key = jax.random.key(11)
+        mesh = make_mesh(N_DEV)
+
+        def run(accum):
+            # fresh copies: the donated fsdp step consumes the device_put
+            # aliases of the originals
+            sp, so = fsdp_init(jax.tree.map(jnp.copy, params), tx, mesh, min_size=1024)
+            if accum == 1:
+                step = make_fsdp_train_step(mlp_loss, tx, mesh, params, min_size=1024)
+            else:
+                p_sh = tree_shardings(params, mesh, min_size=1024)
+                o_sh = tree_shardings(jax.eval_shape(tx.init, params), mesh, min_size=1024)
+                grad_fn = microbatched_value_and_grad(mlp_loss, accum)
+
+                def s(p, o, b, k):
+                    loss, grads = grad_fn(p, b, k)
+                    grads = jax.lax.with_sharding_constraint(grads, p_sh)
+                    updates, o = tx.update(grads, o, p)
+                    return optax.apply_updates(p, updates), o, loss
+
+                step = jax.jit(
+                    s,
+                    in_shardings=(p_sh, o_sh, NamedSharding(mesh, P("data")),
+                                  NamedSharding(mesh, P())),
+                    out_shardings=(p_sh, o_sh, NamedSharding(mesh, P())),
+                )
+            b = jax.device_put(batch, NamedSharding(mesh, P("data")))
+            return step(sp, so, b, key)
+
+        p1, _, l1 = run(1)
+        p2, _, l2 = run(4)
+        # microbatch RNG keys differ from the monolithic path's single key,
+        # but mlp_loss ignores the key — the math must match
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            ),
+            p1,
+            p2,
+        )
