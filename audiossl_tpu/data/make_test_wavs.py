@@ -1,13 +1,12 @@
 """Generate tiny synthetic WAVs + manifest CSVs for smoke tests / verification.
 
-Usage: python -m audiossl_tpu.data.make_test_wavs <out_dir> [n] [--labeled]
+Usage: python -m audiossl_tpu.data.make_test_wavs <out_dir> [n] [--unlabeled]
 Writes <out_dir>/wav_XXX.wav, <out_dir>/pretrain.csv (column `files`
 [+ `label`]), and <out_dir>/downstream_{train,test}.csv (columns `wav`,`label`).
 """
 from __future__ import annotations
 
 import os
-import sys
 
 import numpy as np
 import pandas as pd
@@ -40,7 +39,12 @@ def make(out_dir: str, n: int = 32, sr: int = 16000, labeled: bool = True, seed:
 
 
 if __name__ == "__main__":
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/audiossl_test_wavs"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    make(out, n)
-    print(out)
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("out_dir", nargs="?", default="/tmp/audiossl_test_wavs")
+    p.add_argument("n", nargs="?", type=int, default=32)
+    p.add_argument("--unlabeled", action="store_true", help="omit the label column from pretrain.csv")
+    a = p.parse_args()
+    make(a.out_dir, a.n, labeled=not a.unlabeled)
+    print(a.out_dir)

@@ -42,20 +42,17 @@ class FrontendSpec:
                 fb = pad_or_trim_frames(fb, self.target_length)
             return jnp.swapaxes(fb, -1, -2)  # [B, M, T]
         cfg = LogMelConfig(sample_rate=self.sample_rate, n_mels=self.n_mels)
-        if jax.default_backend() == "tpu" and cfg.n_fft % 256 == 0:
-            import math
+        if jax.default_backend() == "tpu":
+            from audiossl_tpu.frontend import pallas_stft
 
-            if cfg.hop % 128 == 0 or 128 // math.gcd(cfg.hop % 128, 128) <= 8:
+            if pallas_stft.ct2_eligible(cfg):
                 # fused Cooley-Tukey Pallas kernel with in-kernel framing +
                 # bf16x3 split-precision dots: 4.2 ms/1024 clips vs 8.1 for
                 # the frame-materializing variant and 11.9 XLA (PERF.md);
                 # same 1e-3 librosa contract (1.1e-4 measured on device)
-                from audiossl_tpu.frontend.pallas_stft import log_mel_fused_ct2
-
-                return log_mel_fused_ct2(waves, cfg)
-            from audiossl_tpu.frontend.pallas_stft import log_mel_fused_ct
-
-            return log_mel_fused_ct(waves, cfg)
+                return pallas_stft.log_mel_fused_ct2(waves, cfg)
+            if pallas_stft.ct_eligible(cfg):
+                return pallas_stft.log_mel_fused_ct(waves, cfg)
         return log_mel(waves, cfg)
 
 

@@ -31,6 +31,31 @@ from audiossl_tpu.frontend import mel as melmod
 from audiossl_tpu.frontend.stft import EPS32, EPS64, LogMelConfig, frame_signal
 
 
+def ct_eligible(cfg: LogMelConfig) -> bool:
+    """Whether the Cooley-Tukey kernels' radix/lane layout supports ``cfg``.
+
+    The authoritative form of the constraint both CT kernels raise on:
+    the two-stage factorization needs n_fft = 128 * N2 with N2 even.
+    """
+    return cfg.n_fft % 256 == 0
+
+
+def ct2_eligible(cfg: LogMelConfig) -> bool:
+    """Whether ``log_mel_fused_ct2``'s in-kernel framing supports ``cfg``.
+
+    On top of :func:`ct_eligible`, the lane-rotation framing needs the
+    per-frame rotation set to be small: gcd(hop, 128) >= 16 (at most 8
+    distinct rotated copies of the wave block). Dispatch sites
+    (frontend/__init__.py, serve/export.py, bench.py) must use this
+    predicate rather than re-deriving the arithmetic.
+    """
+    import math
+
+    return ct_eligible(cfg) and (
+        cfg.hop % 128 == 0 or 128 // math.gcd(cfg.hop % 128, 128) <= 8
+    )
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -281,7 +306,7 @@ def log_mel_fused_ct(
     (stft.py:_power_spectrum_ct) loses because its small-K matmul stage is
     lane-hostile. Same 1e-3 librosa parity contract.
     """
-    if cfg.n_fft % 256 != 0:
+    if not ct_eligible(cfg):
         raise ValueError("log_mel_fused_ct needs n_fft % 256 == 0")
     squeeze = wave.ndim == 1
     if squeeze:
@@ -430,11 +455,9 @@ def log_mel_fused_ct2(
     lane-rotated copy (exact data movement, zero extra HBM traffic). Same
     math and 1e-3 librosa contract as log_mel_fused_ct.
     """
-    if cfg.n_fft % 256 != 0:
+    if not ct_eligible(cfg):
         raise ValueError("log_mel_fused_ct2 needs n_fft % 256 == 0")
-    import math
-
-    if cfg.hop % 128 and 128 // math.gcd(cfg.hop % 128, 128) > 8:
+    if not ct2_eligible(cfg):
         raise ValueError("log_mel_fused_ct2 needs gcd(hop, 128) >= 16")
     squeeze = wave.ndim == 1
     if squeeze:

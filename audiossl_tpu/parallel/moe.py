@@ -18,6 +18,8 @@ explicit pytrees, shard_map-native.
 """
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -42,9 +44,9 @@ def init_moe_params(
 
 
 def make_expert_mesh(n_devices: int) -> Mesh:
-    import numpy as np
+    from audiossl_tpu.parallel.mesh import make_mesh
 
-    return Mesh(np.asarray(jax.devices()[:n_devices]), (EXPERT_AXIS,))
+    return make_mesh(n_devices, EXPERT_AXIS)
 
 
 def moe_ffn(
@@ -99,11 +101,10 @@ def moe_ffn(
     return out, aux
 
 
-def moe_apply(
-    mesh: Mesh, params: dict, x: jax.Array, capacity: int, axis: str = EXPERT_AXIS
-):
-    """Jit-able wrapper: full params (w1/b1/w2/b2 leading [E]) + tokens
-    [n, d] data-sharded over the expert devices -> ([n, d], aux_loss)."""
+@lru_cache(maxsize=None)
+def _moe_apply_jitted(mesh: Mesh, capacity: int, axis: str):
+    # built once per (mesh, capacity, axis): a fresh lambda per call would
+    # miss the jit cache and recompile every step
     specs = {
         "router": P(),
         "w1": P(axis), "b1": P(axis), "w2": P(axis), "b2": P(axis),
@@ -116,4 +117,12 @@ def moe_apply(
             out_specs=(P(axis), P()),
             check_vma=False,
         )
-    )(params, x)
+    )
+
+
+def moe_apply(
+    mesh: Mesh, params: dict, x: jax.Array, capacity: int, axis: str = EXPERT_AXIS
+):
+    """Jit-able wrapper: full params (w1/b1/w2/b2 leading [E]) + tokens
+    [n, d] data-sharded over the expert devices -> ([n, d], aux_loss)."""
+    return _moe_apply_jitted(mesh, capacity, axis)(params, x)

@@ -21,6 +21,7 @@ parameter pytrees, shard_map-native.
 """
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Callable
 
 import jax
@@ -38,9 +39,9 @@ def stack_stage_params(blocks: list) -> dict:
 
 
 def make_pipe_mesh(n_stages: int) -> Mesh:
-    import numpy as np
+    from audiossl_tpu.parallel.mesh import make_mesh
 
-    return Mesh(np.asarray(jax.devices()[:n_stages]), (PIPE_AXIS,))
+    return make_mesh(n_stages, PIPE_AXIS)
 
 
 def vit_block(p: dict, x: jax.Array, num_heads: int) -> jax.Array:
@@ -104,6 +105,23 @@ def pipeline_forward(
     return jax.lax.psum(jnp.where(idx == s - 1, out, jnp.zeros_like(out)), axis)
 
 
+@lru_cache(maxsize=None)
+def _pipelined_apply_jitted(mesh: Mesh, stage_fn: Callable, axis: str):
+    # built once per (mesh, stage_fn, axis): a fresh lambda per call would
+    # miss the jit cache and recompile every step. stage_fn must be a
+    # stable callable (module-level function or functools.partial of one)
+    # for the cache to hit.
+    return jax.jit(
+        jax.shard_map(
+            lambda p, x: pipeline_forward(stage_fn, p, x, axis),
+            mesh=mesh,
+            in_specs=(P(axis), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+
+
 def pipelined_apply(
     mesh: Mesh,
     stage_fn: Callable[[dict, jax.Array], jax.Array],
@@ -113,12 +131,4 @@ def pipelined_apply(
 ):
     """Jit-able wrapper: stacked [S, ...] stage params + [M, mb, ...] input
     -> [M, mb, ...] output. Differentiable wrt stacked_params and x_mb."""
-    return jax.jit(
-        jax.shard_map(
-            lambda p, x: pipeline_forward(stage_fn, p, x, axis),
-            mesh=mesh,
-            in_specs=(P(axis), P()),
-            out_specs=P(),
-            check_vma=False,
-        )
-    )(stacked_params, x_mb)
+    return _pipelined_apply_jitted(mesh, stage_fn, axis)(stacked_params, x_mb)

@@ -15,6 +15,8 @@ projections, [D, H, Dh] kernels), exact GELU MLP, pre-LN residuals.
 """
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
@@ -84,6 +86,33 @@ def ast_stage_stack(params: dict, depth: int, n_stages: int) -> dict:
     return stack_stage_params(stages)
 
 
+@lru_cache(maxsize=None)
+def _pipelined_ast_jitted(mesh: Mesh, cfg: ASTConfig, n_micro: int):
+    # one jitted program per (mesh, cfg, n_micro): prologue, stage stacking,
+    # the pipeline scan, and the epilogue all fuse into a single XLA
+    # executable, and repeated calls hit the jit cache instead of
+    # re-dispatching the prologue eagerly + retracing a fresh stage closure
+    n_stages = mesh.devices.size
+    per = cfg.depth // n_stages
+
+    def stage_fn(p, a):
+        for j in range(per):
+            a = ast_block(jax.tree.map(lambda t, j=j: t[j], p), a, cfg.num_heads)
+        return a
+
+    @jax.jit
+    def fwd(variables: dict, x: jax.Array) -> jax.Array:
+        params = variables["params"]
+        stacked = ast_stage_stack(params, cfg.depth, n_stages)
+        tokens = ast_prologue(params, x, cfg)
+        b = tokens.shape[0]
+        x_mb = tokens.reshape(n_micro, b // n_micro, *tokens.shape[1:])
+        out = pipelined_apply(mesh, stage_fn, stacked, x_mb, PIPE_AXIS)
+        return ast_epilogue(params, out.reshape(b, *tokens.shape[1:]))
+
+    return fwd
+
+
 def pipelined_ast_forward(
     mesh: Mesh,
     variables: dict,
@@ -97,20 +126,9 @@ def pipelined_ast_forward(
     n_micro must divide B; amortize the fill/drain bubble with
     n_micro >> n_stages.
     """
-    params = variables["params"]
     n_stages = mesh.devices.size
-    per = cfg.depth // n_stages
-    stacked = ast_stage_stack(params, cfg.depth, n_stages)
-    tokens = ast_prologue(params, x, cfg)
-    b = tokens.shape[0]
-    if b % n_micro:
-        raise ValueError(f"batch {b} not divisible by n_micro {n_micro}")
-    x_mb = tokens.reshape(n_micro, b // n_micro, *tokens.shape[1:])
-
-    def stage_fn(p, a):
-        for j in range(per):
-            a = ast_block(jax.tree.map(lambda t, j=j: t[j], p), a, cfg.num_heads)
-        return a
-
-    out = pipelined_apply(mesh, stage_fn, stacked, x_mb, PIPE_AXIS)
-    return ast_epilogue(params, out.reshape(b, *tokens.shape[1:]))
+    if cfg.depth % n_stages:
+        raise ValueError(f"depth {cfg.depth} not divisible by {n_stages} stages")
+    if x.shape[0] % n_micro:
+        raise ValueError(f"batch {x.shape[0]} not divisible by n_micro {n_micro}")
+    return _pipelined_ast_jitted(mesh, cfg, n_micro)(variables, x)

@@ -57,35 +57,38 @@ def _portable_features(frontend, waves: jax.Array) -> jax.Array:
     )
 
 
+def _native_logmel_cfg(frontend):
+    """The LogMelConfig a native export would run, or None when 'native'
+    degenerates to the portable XLA computation (fbank frontends — XLA is
+    the measured-faster fbank path even on TPU, PERF.md — and log-mel
+    geometries the Cooley-Tukey kernels don't support)."""
+    from audiossl_tpu.frontend import FrontendSpec, pallas_stft
+    from audiossl_tpu.frontend.stft import LogMelConfig
+
+    if isinstance(frontend, FrontendSpec) and frontend.kind == "fbank":
+        return None
+    cfg = (
+        frontend
+        if isinstance(frontend, LogMelConfig)
+        else LogMelConfig(sample_rate=frontend.sample_rate, n_mels=frontend.n_mels)
+    )
+    return cfg if pallas_stft.ct_eligible(cfg) else None
+
+
 def _native_features(frontend, waves: jax.Array) -> jax.Array:
     """[b, L] -> [b, F, T] with the TPU Pallas frontend kernels — the same
     dispatch training uses (frontend/__init__.py). The resulting artifact
     carries `tpu_custom_call`s, so it is TPU-only; serve with
     ``--frontend native`` when the fleet is all-TPU and serving is
     frontend-bound (PERF.md: the ct2 kernel is ~2.9x the XLA log-mel)."""
-    import math
+    from audiossl_tpu.frontend import pallas_stft
 
-    from audiossl_tpu.frontend import FrontendSpec
-    from audiossl_tpu.frontend.stft import LogMelConfig
-
-    if isinstance(frontend, FrontendSpec) and frontend.kind == "fbank":
-        # XLA is the measured-faster fbank path even on TPU (PERF.md);
-        # native == portable here
+    cfg = _native_logmel_cfg(frontend)
+    if cfg is None:
         return _portable_features(frontend, waves)
-    cfg = (
-        frontend
-        if isinstance(frontend, LogMelConfig)
-        else LogMelConfig(sample_rate=frontend.sample_rate, n_mels=frontend.n_mels)
-    )
-    if cfg.n_fft % 256 == 0 and (
-        cfg.hop % 128 == 0 or 128 // math.gcd(cfg.hop % 128, 128) <= 8
-    ):
-        from audiossl_tpu.frontend.pallas_stft import log_mel_fused_ct2
-
-        return log_mel_fused_ct2(waves, cfg)
-    from audiossl_tpu.frontend.pallas_stft import log_mel_fused_ct
-
-    return log_mel_fused_ct(waves, cfg)
+    if pallas_stft.ct2_eligible(cfg):
+        return pallas_stft.log_mel_fused_ct2(waves, cfg)
+    return pallas_stft.log_mel_fused_ct(waves, cfg)
 
 
 def export_embedder(
@@ -115,7 +118,13 @@ def export_embedder(
     ``batch`` size (ServingEncoder pads/chunks requests to it) instead of a
     symbolic one.
     """
-    if frontend_impl == "native":
+    # 'native' only restricts the artifact (TPU-only platform, fixed batch,
+    # relaxed custom-call check) when a Pallas kernel is actually embedded;
+    # for fbank frontends and CT-ineligible log-mel geometries the native
+    # computation equals the portable one, so keep the portable artifact's
+    # CPU lowering + symbolic batch.
+    embeds_pallas = frontend_impl == "native" and _native_logmel_cfg(frontend) is not None
+    if embeds_pallas:
         platforms = ("tpu",)
 
     def infer(waves: jax.Array) -> jax.Array:
@@ -123,7 +132,7 @@ def export_embedder(
         feats = feat_fn(frontend, waves)[:, :, :, None]
         return model.apply(variables, feats, False)
 
-    if frontend_impl == "native":
+    if embeds_pallas:
         b: Any = batch
         checks = [jex.DisabledSafetyCheck.custom_call("tpu_custom_call")]
     else:

@@ -73,21 +73,17 @@ V5E_BF16_PEAK = 197e12  # TPU v5e peak bf16 FLOP/s per chip
 def engaged_paths() -> dict:
     """Which optimized code paths engage on this backend — emitted as JSON
     fields so a throughput regression is attributable (VERDICT r2 Weak #1)."""
-    import math
 
     import jax
 
+    from audiossl_tpu.frontend import pallas_stft
     from audiossl_tpu.frontend.stft import LogMelConfig
     from audiossl_tpu.ops import block1
 
     backend = jax.default_backend()
     cfg = LogMelConfig()
     n_frames = cfg.num_frames(CLIP)
-    ct2 = (
-        backend == "tpu"
-        and cfg.n_fft % 256 == 0
-        and (cfg.hop % 128 == 0 or 128 // math.gcd(cfg.hop % 128, 128) <= 8)
-    )
+    ct2 = backend == "tpu" and pallas_stft.ct2_eligible(cfg)
     fused = backend == "tpu" and block1.feasible(n_frames, cfg.n_mels, 64)
     return {
         "backend": backend,

@@ -157,6 +157,71 @@ class TestExportCLI:
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+class TestNativeImplFallback:
+    """``frontend_impl='native'`` must degrade to the portable artifact —
+    not crash, not restrict the platform/batch — whenever no Pallas kernel
+    can actually be embedded (fbank frontends; CT-ineligible log-mel
+    geometries such as the standard 25 ms/10 ms speech window)."""
+
+    def test_ct_ineligible_logmel_falls_back(self):
+        # n_fft=512 trips neither kernel guard on its own, but hop=160 with
+        # n_fft=400 (librosa speech default) is the reported crash: the old
+        # dispatch routed it to log_mel_fused_ct which requires n_fft%256==0
+        from audiossl_tpu.serve.export import _native_logmel_cfg
+
+        assert _native_logmel_cfg(LogMelConfig(n_fft=400, hop=160)) is None
+        assert _native_logmel_cfg(LogMelConfig()) is not None
+
+    def test_native_export_of_fbank_stays_portable(self, tmp_path):
+        """fbank 'native' == portable (PERF.md): the artifact must keep CPU
+        lowering and the symbolic batch dimension."""
+        from audiossl_tpu.frontend import FrontendSpec
+
+        clip = 4800
+        frontend = FrontendSpec(kind="fbank", n_mels=128, sample_rate=16000)
+        n_frames = frontend.num_frames(clip)
+        model = DownstreamModel(
+            n_mels=128, d=192, num_classes=0, axis_name=None,
+            encoder_type="AST", input_tdim=n_frames, model_size="tiny",
+        )
+        dummy = jnp.zeros((2, 128, n_frames, 1), jnp.float32)
+        variables = model.init(
+            {"params": jax.random.key(2), "dropout": jax.random.key(3)}, dummy, False
+        )
+        exp = export_embedder(
+            variables, model, frontend, clip,
+            platforms=("cpu",), frontend_impl="native",
+        )
+        assert exp.platforms == ("cpu",)
+        enc = ServingEncoder(exp)
+        assert enc.fixed_batch is None  # symbolic batch survived
+        waves = (0.3 * RNG.standard_normal((3, clip))).astype(np.float32)
+        assert enc(waves).shape == (3, 192)
+
+    def test_native_export_of_ct_ineligible_logmel_falls_back(self):
+        """The reported crash case: LogMelConfig(n_fft=400, hop=160) with
+        --frontend native must export the portable XLA log-mel."""
+        mel_cfg = LogMelConfig(n_fft=400, hop=160)
+        n_frames = mel_cfg.num_frames(CLIP)
+        model = DownstreamModel(
+            n_mels=64, d=64, num_classes=0, axis_name=None,
+            encoder_type="AudioNTT2020Task6", input_tdim=n_frames,
+            compute_dtype=jnp.float32,
+        )
+        dummy = jnp.zeros((2, 64, n_frames, 1), jnp.float32)
+        variables = model.init({"params": jax.random.key(0)}, dummy, False)
+        exp = export_embedder(
+            variables, model, mel_cfg, CLIP,
+            platforms=("cpu",), frontend_impl="native",
+        )
+        assert exp.platforms == ("cpu",)
+        waves = (0.3 * RNG.standard_normal((2, CLIP))).astype(np.float32)
+        got = np.asarray(jax.jit(exp.call)(jnp.asarray(waves)))
+        lms = log_mel(jnp.asarray(waves), mel_cfg)[:, :, :, None]
+        want = np.asarray(model.apply(variables, lms, False))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.skipif(
     not os.environ.get("AUDIOSSL_TEST_TPU"), reason="native artifact needs the TPU (Mosaic lowers at export)"
 )
