@@ -65,9 +65,15 @@ def available() -> bool:
 
 
 def load_batch(
-    paths: list[str], clip_samples: int, target_sr: int = 16000, seed: int = 0, n_threads: int = 8
+    paths: list[str], clip_samples: int, target_sr: int = 16000, seed: int = 0,
+    n_threads: int = 8, on_error: str = "raise",
 ) -> np.ndarray | None:
-    """Decode + window a batch natively -> [n, clip_samples] f32, or None."""
+    """Decode + window a batch natively -> [n, clip_samples] f32, or None.
+
+    ``on_error='zeros'``: failed clips stay silence (the C++ loader
+    zero-fills a failed row before reporting it — wavloader.cpp
+    avl_load_batch) and a warning names one failing file instead of
+    raising; the production policy for web-scale corpora."""
     lib = get_lib()
     if lib is None:
         return None
@@ -79,7 +85,9 @@ def load_batch(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     if rc != 0:
-        raise IOError(f"native loader failed on file index {-rc - 1}: {paths[-rc - 1]}")
+        if on_error != "zeros":
+            raise IOError(f"native loader failed on file index {-rc - 1}: {paths[-rc - 1]}")
+        log.warning("bad audio file(s), substituting silence (e.g. %s)", paths[-rc - 1])
     return out
 
 

@@ -12,6 +12,7 @@ DistributedSampler(shuffle=True, seed=...) (train_downstream.py:63).
 from __future__ import annotations
 
 import concurrent.futures as cf
+import logging
 import threading
 from queue import Queue
 from typing import Iterator
@@ -21,6 +22,8 @@ import pandas as pd
 
 from audiossl_tpu.data.wav import load_wave
 from audiossl_tpu.ops.windowing import extract_window_np
+
+log = logging.getLogger("audiossl_tpu.data")
 
 
 class ManifestLoader:
@@ -48,7 +51,16 @@ class ManifestLoader:
         path_prefix: str | None = None,
         wire_dtype: str = "float32",  # 'int16' halves host->device bytes
         host_shard: tuple[int, int] | None = None,  # (process_index, process_count)
+        on_error: str = "raise",  # 'zeros': warn + silence clip for bad files
     ):
+        # 'raise' (default) keeps strict semantics; 'zeros' is the
+        # production policy for web-scale corpora where a handful of
+        # corrupt/missing files must not kill a pod-day of training — the
+        # bad clip becomes silence (the C++ loader already zero-fills
+        # failures before reporting them) and a warning names the file.
+        if on_error not in ("raise", "zeros"):
+            raise ValueError(f"on_error must be 'raise' or 'zeros', got {on_error!r}")
+        self.on_error = on_error
         self.wire_dtype = wire_dtype
         # multi-host pod training: every host seeds the same global
         # permutation and takes its rank-strided slice — torch
@@ -92,7 +104,13 @@ class ManifestLoader:
         return len(self.files)
 
     def _load_one(self, idx: int, rng: np.random.Generator) -> np.ndarray:
-        wave = load_wave(self.files[idx], self.sample_rate)
+        try:
+            wave = load_wave(self.files[idx], self.sample_rate)
+        except Exception:
+            if self.on_error != "zeros":
+                raise
+            log.warning("bad audio file, substituting silence: %s", self.files[idx])
+            return np.zeros(self.clip_samples, np.float32)
         return extract_window_np(wave, self.clip_samples, rng)
 
     def _host_slice(self, order: np.ndarray) -> np.ndarray:
@@ -147,6 +165,7 @@ class ManifestLoader:
                     self.sample_rate,
                     seed=batch_seed,
                     n_threads=max(self.num_workers, 1),
+                    on_error=self.on_error,
                 )
             else:
                 waves = np.stack([self._load_one(i, rng) for i in idxs]).astype(np.float32)

@@ -77,6 +77,7 @@ def train_decar(
     loader = ManifestLoader(
         input_csv, batch, clip, mel_cfg.sample_rate,
         num_workers=int(run.get("num_dataloader_workers", 8)), seed=seed,
+        on_error=str(run.get("data_on_error", "raise")),
     )
     # attach dataset indices as the "labels" stream
     loader.labels = np.arange(loader.num_samples, dtype=np.int32)
@@ -236,7 +237,10 @@ def train_decar(
     buf = MetricsBuffer(int(run.get("log_every", 10)), stats_file)
     global_step = int(state.step)
     done = False
-    for epoch in range(epochs):
+    from audiossl_tpu.train.preemption import PreemptionGuard
+
+    with PreemptionGuard() as guard:
+      for epoch in range(epochs):
         if done:
             break
         key_cluster = jax.random.fold_in(state.rng, 10_000 + epoch)
@@ -249,7 +253,12 @@ def train_decar(
         for waves, idxs in loader.epoch(epoch):
             state, loss = step_fn(state, shard_batch(mesh, jnp.asarray(waves)), shard_batch(mesh, jnp.asarray(idxs)))
             global_step += 1
-            buf.push(epoch, global_step, {"train_loss": loss})
+            if buf.push(epoch, global_step, {"train_loss": loss}) and guard.should_stop():
+                # epoch-end save below runs on break (memory bank +
+                # assignments ride the checkpoint, so resume is exact)
+                log.warning("SIGTERM: stopping at step %d for preemption save", global_step)
+                done = True
+                break
             if max_steps and global_step >= max_steps:
                 done = True
                 break

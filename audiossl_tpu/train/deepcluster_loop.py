@@ -87,6 +87,7 @@ def train_deepcluster_v1(
     loader = ManifestLoader(
         input_csv, batch, clip, mel_cfg.sample_rate,
         num_workers=int(run.get("num_dataloader_workers", 8)), seed=seed,
+        on_error=str(run.get("data_on_error", "raise")),
         shuffle=False,  # order comes from uniform_label_epoch
         drop_last=False,  # the feature pass must embed every sample
     )
@@ -201,7 +202,10 @@ def train_deepcluster_v1(
     rng = np.random.default_rng(seed)
     done = False
     last_assignments = None
-    for epoch in range(start_epoch, epochs):
+    from audiossl_tpu.train.preemption import PreemptionGuard
+
+    with PreemptionGuard() as guard:
+      for epoch in range(start_epoch, epochs):
         if done:
             break
         # 1. features for the whole dataset (compute_features, utils.py:69-95)
@@ -246,7 +250,15 @@ def train_deepcluster_v1(
                 jax.random.key(seed * 1_000_003 + global_step),
             )
             global_step += 1
-            buf.push(epoch, global_step, {"train_loss": loss, "kmeans_loss": jnp.asarray(km_loss)})
+            if (
+                buf.push(epoch, global_step, {"train_loss": loss, "kmeans_loss": jnp.asarray(km_loss)})
+                and guard.should_stop()
+            ):
+                # epoch-end save below runs on break; assignments/top layer
+                # rebuild from the checkpointed encoder on resume
+                log.warning("SIGTERM: stopping at step %d for preemption save", global_step)
+                done = True
+                break
             if max_steps and global_step >= max_steps:
                 done = True
                 break

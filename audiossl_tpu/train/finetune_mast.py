@@ -307,8 +307,12 @@ def train_finetune_mast(
     epochs = int(run.get("epochs", 1))
     global_step = 0
     done = False
+    preempted = False
     stats: dict = {}
-    for epoch in range(epochs):
+    from audiossl_tpu.train.preemption import PreemptionGuard
+
+    with PreemptionGuard() as guard:
+      for epoch in range(epochs):
         if done:
             break
         buf.reset_avg()
@@ -321,13 +325,19 @@ def train_finetune_mast(
                 jax.random.key(seed * 7_919 + global_step),
             )
             global_step += 1
-            buf.push(epoch, global_step, {"train_loss": loss})
+            if buf.push(epoch, global_step, {"train_loss": loss}) and guard.should_stop():
+                # the epoch-end save below runs on break; SIGTERM grace
+                # windows are short, so exit the epoch immediately
+                log.warning("SIGTERM: stopping at step %d for preemption save", global_step)
+                done = True
+                preempted = True
+                break
             if max_steps and global_step >= max_steps:
                 done = True
                 break
         buf.flush()
         stats = {"epoch": epoch, "train_loss": buf.avg_loss, "epoch_time_s": time.time() - t0}
-        if eval_loader is not None:
+        if eval_loader is not None and not preempted:  # no eval inside the grace window
             stats.update(evaluate())
         log.info("%s", stats)
         print(json.dumps(stats), file=stats_file)

@@ -139,6 +139,7 @@ def train_upstream(
         seed=seed,
         wire_dtype=str(run.get("wire_dtype", "int16")),
         host_shard=(jax.process_index(), n_hosts) if n_hosts > 1 else None,
+        on_error=str(run.get("data_on_error", "raise")),
     )
     pre["steps_per_epoch"] = max(len(loader), 1)
     objective = labeled_cls(config)
@@ -219,7 +220,11 @@ def train_upstream(
     )
     t_end = time.time()
     done = False
-    for epoch in range(epochs):
+    preempted = False
+    from audiossl_tpu.train.preemption import PreemptionGuard
+
+    with PreemptionGuard() as guard:
+      for epoch in range(epochs):
         if done:
             break
         for waves, labels in loader.epoch(epoch):
@@ -238,6 +243,22 @@ def train_upstream(
                     epoch, global_step, buf.last_loss, batch_time.avg, data_time.avg,
                     eta.eta_seconds / 60,
                 )
+                # preemption check rides the log cadence: on a pod each
+                # check is a host sync, so it must not run every step
+                if guard.should_stop():
+                    buf.flush()
+                    ckpt.save_checkpoint(
+                        ckpt_dir, global_step, state,
+                        objective.encoder_variables(state.params, state.batch_stats),
+                        config, block=True,
+                    )
+                    log.warning(
+                        "SIGTERM: preemption checkpoint saved at step %d; exiting",
+                        global_step,
+                    )
+                    done = True
+                    preempted = True
+                    break
             if save_every and global_step % save_every == 0:
                 buf.flush()
                 ckpt.save_checkpoint(
@@ -249,8 +270,10 @@ def train_upstream(
                 break
         buf.flush()
         loss = buf.last_loss
-        # best-train-loss checkpoint at epoch granularity (ModelCheckpoint equivalent)
-        if loss < best_loss or epoch == epochs - 1 or done:
+        # best-train-loss checkpoint at epoch granularity (ModelCheckpoint
+        # equivalent); skipped after a preemption save — same step, and the
+        # SIGTERM grace window is too short to spend on a redundant write
+        if (loss < best_loss or epoch == epochs - 1 or done) and not preempted:
             best_loss = min(best_loss, loss)
             ckpt.save_checkpoint(
                 ckpt_dir, global_step, state,

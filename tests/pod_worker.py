@@ -94,6 +94,22 @@ def main() -> None:
         np.asarray(jax.tree.leaves(restored.params)[0]),
         np.asarray(jax.tree.leaves(state.params)[0]),
     )
+    # preemption agreement: only rank 1 is "signalled" (self-delivered
+    # SIGTERM through the real handler); should_stop() all-gathers the
+    # flags so BOTH ranks agree to stop — the collective prerequisite for
+    # the final orbax save (train/preemption.py)
+    import signal
+
+    from audiossl_tpu.train.preemption import PreemptionGuard
+
+    with PreemptionGuard() as guard:
+        assert guard.should_stop() is False  # unanimous not-stopped
+        if rank == 1:
+            os.kill(os.getpid(), signal.SIGTERM)
+            assert guard.requested_locally()
+        agreed = guard.should_stop()
+        assert agreed is True, f"rank {rank} did not agree to stop"
+
     # replicated pmean'd loss must agree across hosts — the test compares
     print(f"POD_OK rank={rank} losses={losses[0]:.6f},{losses[1]:.6f}")
 

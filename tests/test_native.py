@@ -79,3 +79,58 @@ class TestNativeLoader:
                 found = True
                 break
         assert found
+
+
+class TestOnErrorPolicy:
+    """Corrupt/missing files: 'raise' (default) keeps strict semantics;
+    'zeros' substitutes silence + a warning (production policy — one bad
+    file in a web-scale corpus must not kill a pod-day of training)."""
+
+    def _manifest_with_bad_file(self, wav_dir, tmp_path):
+        import pandas as pd
+
+        good = [os.path.join(wav_dir, f"wav_{i:03d}.wav") for i in range(3)]
+        bad = os.path.join(str(tmp_path), "corrupt.wav")
+        with open(bad, "wb") as f:
+            f.write(b"RIFFgarbage-not-a-wav")
+        csv = os.path.join(str(tmp_path), "m.csv")
+        pd.DataFrame({"files": good + [bad]}).to_csv(csv, index=False)
+        return csv, bad
+
+    @pytest.mark.parametrize("force_numpy", [False, True])
+    def test_zeros_policy_substitutes_silence(self, wav_dir, tmp_path, monkeypatch, force_numpy):
+        from audiossl_tpu.data.pipeline import ManifestLoader
+
+        if force_numpy:
+            monkeypatch.setattr(native, "available", lambda: False)
+        elif not native.available():
+            pytest.skip("no C++ toolchain")
+        csv, bad = self._manifest_with_bad_file(wav_dir, tmp_path)
+        loader = ManifestLoader(
+            csv, batch_size=4, clip_samples=800, shuffle=False,
+            num_workers=1, on_error="zeros",
+        )
+        (waves, _), = list(loader.epoch(0))
+        assert waves.shape == (4, 800)
+        assert not np.any(waves[3])  # the corrupt clip became silence
+        assert np.any(waves[:3])  # real clips decoded
+
+    @pytest.mark.parametrize("force_numpy", [False, True])
+    def test_raise_policy_raises(self, wav_dir, tmp_path, monkeypatch, force_numpy):
+        from audiossl_tpu.data.pipeline import ManifestLoader
+
+        if force_numpy:
+            monkeypatch.setattr(native, "available", lambda: False)
+        elif not native.available():
+            pytest.skip("no C++ toolchain")
+        csv, _ = self._manifest_with_bad_file(wav_dir, tmp_path)
+        loader = ManifestLoader(csv, batch_size=4, clip_samples=800, shuffle=False, num_workers=1)
+        with pytest.raises(Exception):
+            list(loader.epoch(0))
+
+    def test_invalid_policy_rejected(self, wav_dir, tmp_path):
+        from audiossl_tpu.data.pipeline import ManifestLoader
+
+        csv, _ = self._manifest_with_bad_file(wav_dir, tmp_path)
+        with pytest.raises(ValueError):
+            ManifestLoader(csv, batch_size=4, clip_samples=800, on_error="skip")
