@@ -62,7 +62,7 @@ def wait_until_finished() -> None:
 
 def save_checkpoint(
     ckpt_dir: str, step: int, state: Any, encoder_vars: Any, config: dict | None = None,
-    block: bool = False,
+    block: bool = False, keep_last: int | None = None,
 ) -> None:
     ckpt_dir = _path(ckpt_dir)
     _async_ckptr("state").save(
@@ -77,6 +77,39 @@ def save_checkpoint(
             yaml.safe_dump(config, f)
     if block:
         wait_until_finished()
+    if keep_last:
+        # after wait_until_finished the just-written step is committed, so
+        # blocking saves bound history exactly at keep_last; async saves
+        # prune the previous window (the in-flight step is still tmp-named)
+        # and catch up at the next save — at most keep_last+1 on disk
+        prune_checkpoints(ckpt_dir, keep_last)
+
+
+def prune_checkpoints(ckpt_dir: str, keep_last: int, kinds: tuple[str, ...] = ("state", "encoder")) -> None:
+    """Retention: delete all but the newest ``keep_last`` committed step
+    dirs per kind. Production runs saving every 500 steps for days would
+    otherwise accumulate unbounded disk (full state is O(model+optimizer+
+    queue/bank)). Retention is by recency — a best-loss save older than
+    the window is pruned like any other, matching the reference's
+    save_top_k=1 spirit of not keeping history.
+
+    Safe with async saves: orbax writes into a tmp-suffixed dir and
+    atomically renames on commit, so a plain numeric dir is always a
+    committed checkpoint, and the newest one is never in the prune set
+    (save() on one checkpointer also serializes with its previous write).
+    Pod: process 0 prunes (the save itself is collective; the filesystem
+    delete is not)."""
+    import shutil
+
+    if jax.process_index() != 0:
+        return
+    for kind in kinds:
+        base = os.path.join(_path(ckpt_dir), kind)
+        if not os.path.isdir(base):
+            continue
+        steps = sorted(int(d) for d in os.listdir(base) if d.isdigit())
+        for s in steps[: -max(1, int(keep_last))]:
+            shutil.rmtree(os.path.join(base, str(s)), ignore_errors=True)
 
 
 def save_encoder_only(ckpt_dir: str, step: int, encoder_vars: Any, block: bool = True) -> None:

@@ -265,7 +265,8 @@ def train_decar(
         buf.flush()
         log.info("epoch %d done: loss %.4f (%.1fs)", epoch, buf.avg_loss, time.time() - t0)
         ckptmod.save_checkpoint(
-            ckpt_dir, global_step, state, obj.encoder_variables(state.params, state.batch_stats), config
+            ckpt_dir, global_step, state, obj.encoder_variables(state.params, state.batch_stats), config,
+            keep_last=int(run.get("keep_checkpoints", 0)) or None,
         )
     stats_file.close()
     ckptmod.wait_until_finished()  # commit in-flight async saves before handoff

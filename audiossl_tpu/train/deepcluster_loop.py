@@ -270,6 +270,7 @@ def train_deepcluster_v1(
              "batch_stats": batch_stats, "opt_state": opt_state},
             {"params": params["encoder"], "batch_stats": batch_stats["encoder"]},
             config,
+            keep_last=int(run.get("keep_checkpoints", 0)) or None,
         )
     stats_file.close()
     ckptmod.wait_until_finished()  # commit in-flight async saves before handoff

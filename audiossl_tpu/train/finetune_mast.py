@@ -346,6 +346,7 @@ def train_finetune_mast(
             {"params": params, "opt_state": opt_state, "step": global_step},
             {"params": params["mast"], "batch_stats": {}},
             config,
+            keep_last=int(run.get("keep_checkpoints", 0)) or None,
         )
     stats_file.close()
     ckptmod.wait_until_finished()

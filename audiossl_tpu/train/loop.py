@@ -208,6 +208,7 @@ def train_upstream(
         else open(os.devnull, "w")
     )
 
+    keep_last = int(run.get("keep_checkpoints", 0)) or None
     best_loss = float("inf")
     global_step = int(state.step)
     from audiossl_tpu.utils.metrics import TrainMeter
@@ -250,7 +251,7 @@ def train_upstream(
                     ckpt.save_checkpoint(
                         ckpt_dir, global_step, state,
                         objective.encoder_variables(state.params, state.batch_stats),
-                        config, block=True,
+                        config, block=True, keep_last=keep_last,
                     )
                     log.warning(
                         "SIGTERM: preemption checkpoint saved at step %d; exiting",
@@ -264,6 +265,7 @@ def train_upstream(
                 ckpt.save_checkpoint(
                     ckpt_dir, global_step, state,
                     objective.encoder_variables(state.params, state.batch_stats), config,
+                    keep_last=keep_last,
                 )
             if max_steps and global_step >= max_steps:
                 done = True
@@ -278,6 +280,7 @@ def train_upstream(
             ckpt.save_checkpoint(
                 ckpt_dir, global_step, state,
                 objective.encoder_variables(state.params, state.batch_stats), config,
+                keep_last=keep_last,
             )
     stats_file.close()
     ckpt.wait_until_finished()  # commit in-flight async saves before handoff

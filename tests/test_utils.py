@@ -106,3 +106,46 @@ def test_extract_features_cli(tmp_path):
     assert len(feats) == 6
     arr = np.load(os.path.join(out, feats[0]))
     assert arr.shape == (64, 101)  # 1 s window -> 101 frames
+
+
+class TestCheckpointRetention:
+    """run.keep_checkpoints bounds on-disk history (train/checkpoint.py
+    prune_checkpoints): days-long runs saving every 500 steps must not
+    accumulate unbounded full-state checkpoints."""
+
+    def test_prune_keeps_newest_k(self, tmp_path):
+        import os
+
+        import jax.numpy as jnp
+
+        from audiossl_tpu.train import checkpoint as ckpt
+
+        state = {"w": jnp.arange(4.0)}
+        enc = {"params": {"k": jnp.ones((2,))}}
+        d = str(tmp_path / "run_chkp")
+        for step in (1, 2, 3, 4):
+            ckpt.save_checkpoint(d, step, state, enc, block=True, keep_last=2)
+        for kind in ("state", "encoder"):
+            kept = sorted(int(s) for s in os.listdir(os.path.join(d, kind)) if s.isdigit())
+            # blocking saves prune after commit, so the bound is exact;
+            # async saves may lag one step behind (keep_last+1 on disk)
+            assert kept == [3, 4], (kind, kept)
+        # the newest checkpoint still restores after pruning
+        assert ckpt.latest_step(d) == 4
+        restored = ckpt.restore_checkpoint(d, {"w": jnp.zeros(4)})
+        np.testing.assert_array_equal(np.asarray(restored["w"]), np.arange(4.0))
+
+    def test_keep_all_by_default(self, tmp_path):
+        import os
+
+        import jax.numpy as jnp
+
+        from audiossl_tpu.train import checkpoint as ckpt
+
+        state = {"w": jnp.arange(2.0)}
+        enc = {"params": {"k": jnp.ones((2,))}}
+        d = str(tmp_path / "run2_chkp")
+        for step in (1, 2, 3):
+            ckpt.save_checkpoint(d, step, state, enc, block=True)
+        kept = sorted(int(s) for s in os.listdir(os.path.join(d, "state")) if s.isdigit())
+        assert kept == [1, 2, 3]
