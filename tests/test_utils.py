@@ -149,3 +149,31 @@ class TestCheckpointRetention:
             ckpt.save_checkpoint(d, step, state, enc, block=True)
         kept = sorted(int(s) for s in os.listdir(os.path.join(d, "state")) if s.isdigit())
         assert kept == [1, 2, 3]
+
+
+class TestConfigValidation:
+    """run.* is a closed key vocabulary (config.py RUN_KEYS): a typo like
+    'keep_checkpoint' silently becoming a no-op default is a footgun, so
+    load_config warns on unknown run keys."""
+
+    def test_shipped_configs_are_clean(self, caplog):
+        from audiossl_tpu.config import load_config
+
+        with caplog.at_level("WARNING", logger="audiossl_tpu.config"):
+            for name in (
+                "delores_s", "delores_m", "slicer", "unfused",
+                "decar_v1", "decar_v2", "ssmast", "mast_ft", "downstream",
+            ):
+                load_config(None, name)
+        assert not [r for r in caplog.records if "unknown run" in r.message]
+
+    def test_typo_key_warns(self, tmp_path, caplog):
+        import yaml
+
+        from audiossl_tpu.config import load_config
+
+        p = tmp_path / "c.yaml"
+        yaml.safe_dump({"run": {"batch_size": 8, "keep_checkpoint": 2}}, open(p, "w"))
+        with caplog.at_level("WARNING", logger="audiossl_tpu.config"):
+            load_config(str(p))
+        assert any("keep_checkpoint" in r.getMessage() for r in caplog.records)
