@@ -56,6 +56,7 @@ def multilabel_loader(
     seed: int = 0,
     num_workers: int = 8,
     wire_dtype: str = "int16",
+    on_error: str = "raise",
 ) -> tuple[ManifestLoader, int]:
     """-> (loader yielding (waves [B, L], targets [B, C]), n_classes)."""
     index_dict = make_index_dict(label_csv)
@@ -63,7 +64,7 @@ def multilabel_loader(
     loader = ManifestLoader(
         pd.DataFrame({"files": files}), batch_size, clip_samples, sample_rate,
         shuffle=shuffle, drop_last=drop_last, seed=seed, num_workers=num_workers,
-        wire_dtype=wire_dtype,
+        wire_dtype=wire_dtype, on_error=on_error,
     )
     loader.labels = targets  # [N, C]: epoch batches index rows -> [B, C]
     return loader, len(index_dict)

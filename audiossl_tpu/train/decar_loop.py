@@ -237,6 +237,7 @@ def train_decar(
     buf = MetricsBuffer(int(run.get("log_every", 10)), stats_file)
     global_step = int(state.step)
     done = False
+    keep_last = int(run.get("keep_checkpoints", 0)) or None
     from audiossl_tpu.train.preemption import PreemptionGuard
 
     with PreemptionGuard() as guard:
@@ -266,8 +267,10 @@ def train_decar(
         log.info("epoch %d done: loss %.4f (%.1fs)", epoch, buf.avg_loss, time.time() - t0)
         ckptmod.save_checkpoint(
             ckpt_dir, global_step, state, obj.encoder_variables(state.params, state.batch_stats), config,
-            keep_last=int(run.get("keep_checkpoints", 0)) or None,
+            keep_last=keep_last,
         )
+      # commit in-flight saves while SIGTERM is still deferred by the guard:
+      # a repeat signal during the final async commit must not kill the write
+      ckptmod.wait_until_finished()
     stats_file.close()
-    ckptmod.wait_until_finished()  # commit in-flight async saves before handoff
     return state, ckpt_dir

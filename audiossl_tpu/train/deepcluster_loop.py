@@ -201,6 +201,8 @@ def train_deepcluster_v1(
     epochs = int(run.get("epochs", 1))
     rng = np.random.default_rng(seed)
     done = False
+    preempted = False
+    keep_last = int(run.get("keep_checkpoints", 0)) or None
     last_assignments = None
     from audiossl_tpu.train.preemption import PreemptionGuard
 
@@ -258,6 +260,7 @@ def train_deepcluster_v1(
                 # rebuild from the checkpointed encoder on resume
                 log.warning("SIGTERM: stopping at step %d for preemption save", global_step)
                 done = True
+                preempted = True
                 break
             if max_steps and global_step >= max_steps:
                 done = True
@@ -266,14 +269,21 @@ def train_deepcluster_v1(
         log.info("epoch %d: kmeans_loss %.4f CE %.4f (%.1fs)", epoch, km_loss, buf.avg_loss, time.time() - t0)
         ckptmod.save_checkpoint(
             ckpt_dir, global_step,
-            {"epoch": epoch + 1, "step": global_step, "params": params,
+            # a preempted epoch records `epoch`, not epoch + 1: DeepCluster
+            # is epoch-granular (features -> k-means -> CE), so resume
+            # re-runs the interrupted epoch instead of silently skipping its
+            # remaining pseudo-label steps
+            {"epoch": epoch if preempted else epoch + 1, "step": global_step,
+             "params": params,
              "batch_stats": batch_stats, "opt_state": opt_state},
             {"params": params["encoder"], "batch_stats": batch_stats["encoder"]},
             config,
-            keep_last=int(run.get("keep_checkpoints", 0)) or None,
+            keep_last=keep_last,
         )
+      # commit in-flight saves while SIGTERM is still deferred by the guard:
+      # a repeat signal during the final async commit must not kill the write
+      ckptmod.wait_until_finished()
     stats_file.close()
-    ckptmod.wait_until_finished()  # commit in-flight async saves before handoff
     result = DeepClusterResult(
         step=jnp.asarray(global_step), params=params,
         batch_stats=batch_stats, assignments=last_assignments,

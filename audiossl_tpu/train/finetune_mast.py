@@ -142,6 +142,7 @@ def train_finetune_mast(
     loader, n_classes = multilabel_loader(
         train_json, label_csv, batch, clip, sr,
         num_workers=int(run.get("num_dataloader_workers", 8)), seed=seed,
+        on_error=str(run.get("data_on_error", "raise")),
     )
     eval_loader = None
     if eval_json:
@@ -271,12 +272,17 @@ def train_finetune_mast(
 
     repl = NamedSharding(mesh, P())
     params, opt_state = jax.tree.map(lambda a: jax.device_put(a, repl), (params, opt_state))
+    resume_step = 0
     if load_checkpoint:
         restored = ckptmod.restore_checkpoint(
             load_checkpoint, {"params": params, "opt_state": opt_state, "step": 0}
         )
         params, opt_state = restored["params"], restored["opt_state"]
-        log.info("resumed from %s", load_checkpoint)
+        # resume the step counter too: a preempted run must continue with
+        # the remaining epochs (and post-resume checkpoints must not land
+        # at lower step numbers), not replay all of them from scratch
+        resume_step = int(restored["step"])
+        log.info("resumed from %s at step %d", load_checkpoint, resume_step)
     if fsdp:
         # re-place the (replicated) state into its sharded layout; from here
         # on params/moments never exist whole on any one chip
@@ -305,14 +311,16 @@ def train_finetune_mast(
     buf = MetricsBuffer(int(run.get("log_every", 10)), stats_file)
 
     epochs = int(run.get("epochs", 1))
-    global_step = 0
+    global_step = resume_step
+    start_epoch = min(resume_step // max(len(loader), 1), epochs)
     done = False
     preempted = False
+    keep_last = int(run.get("keep_checkpoints", 0)) or None
     stats: dict = {}
     from audiossl_tpu.train.preemption import PreemptionGuard
 
     with PreemptionGuard() as guard:
-      for epoch in range(epochs):
+      for epoch in range(start_epoch, epochs):
         if done:
             break
         buf.reset_avg()
@@ -346,10 +354,12 @@ def train_finetune_mast(
             {"params": params, "opt_state": opt_state, "step": global_step},
             {"params": params["mast"], "batch_stats": {}},
             config,
-            keep_last=int(run.get("keep_checkpoints", 0)) or None,
+            keep_last=keep_last,
         )
+      # commit in-flight saves while SIGTERM is still deferred by the guard:
+      # a repeat signal during the final async commit must not kill the write
+      ckptmod.wait_until_finished()
     stats_file.close()
-    ckptmod.wait_until_finished()
     return params, stats, ckpt_dir
 
 

@@ -282,6 +282,8 @@ def train_upstream(
                 objective.encoder_variables(state.params, state.batch_stats), config,
                 keep_last=keep_last,
             )
+      # commit in-flight saves while SIGTERM is still deferred by the guard:
+      # a repeat signal during the final async commit must not kill the write
+      ckpt.wait_until_finished()
     stats_file.close()
-    ckpt.wait_until_finished()  # commit in-flight async saves before handoff
     return state, ckpt_dir

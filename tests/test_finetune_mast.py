@@ -146,3 +146,40 @@ def test_finetune_fsdp_matches_shard_map(audioset_style_data, tmp_path):
     np.testing.assert_allclose(stats_f["train_loss"], stats_ref["train_loss"], rtol=1e-5)
     specs = [l.sharding.spec for l in jax.tree.leaves(params_f)]
     assert any("data" in s for s in specs), "no param leaf is mesh-sharded"
+
+
+def test_finetune_resume_continues_step_counter(audioset_style_data, tmp_path):
+    """A resumed fine-tune continues from the stored step (remaining epochs
+    only), instead of replaying all configured epochs from scratch — the
+    preemption-resume contract (train/preemption.py)."""
+    from audiossl_tpu.train import checkpoint as ckpt
+    from audiossl_tpu.train.finetune_mast import train_finetune_mast
+
+    def cfg(tag, epochs):
+        return {
+            "run": {
+                "batch_size": 8, "epochs": epochs, "num_dataloader_workers": 1,
+                "learning_rate": 1e-3, "layer_decay": 0.75, "weight_decay": 0.05,
+                "clip_grad_norm": 1.0, "save_path": os.path.join(str(tmp_path), tag),
+            },
+            "finetune": {
+                "model_size": "tiny",
+                "norm_stats": {"mean": -13.9, "std": 5.3},
+                "input": {
+                    "type": "fbank", "sampling_rate": 16000, "length_wave": 0.5,
+                    "n_mels": 64, "target_length": 48,
+                },
+            },
+        }
+
+    args = (str(audioset_style_data / "train.json"), str(audioset_style_data / "labels.csv"))
+    # epoch 0 = 1 step at batch 8 over 12 clips (drop_last)
+    _, _, ckpt_dir = train_finetune_mast(cfg("a", 1), *args)
+    first = ckpt.latest_step(ckpt_dir)
+    assert first == 1
+    # resume with 2 configured epochs: epoch 0 is already done (step 1), so
+    # exactly one more epoch runs -> final step 2, not 3
+    _, _, ckpt_dir2 = train_finetune_mast(
+        cfg("a", 2), *args, load_checkpoint=ckpt_dir
+    )
+    assert ckpt.latest_step(ckpt_dir2) == 2

@@ -66,11 +66,15 @@ class TestTrainLoopPreemption:
                 done.wait(2.0)
 
         prev = signal.signal(signal.SIGTERM, signal.SIG_IGN)
+        pester_t = threading.Thread(target=pester, daemon=True)
         try:
-            threading.Thread(target=pester, daemon=True).start()
+            pester_t.start()
             state, ckpt_dir = train_upstream(cfg, csv, "delores_s", save_every=0)
         finally:
+            # join BEFORE restoring the handler: a final in-flight kill must
+            # land on the SIG_IGN fallback, not the restored default action
             done.set()
+            pester_t.join(timeout=10)
             signal.signal(signal.SIGTERM, prev)
 
         stop_step = int(state.step)
