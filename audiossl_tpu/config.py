@@ -33,7 +33,7 @@ RUN_KEYS = frozenset({
     "clip_grad_norm", "grad_accum_steps", "num_dataloader_workers",
     "save_path", "world_size", "duration", "freeze", "log_every",
     "wire_dtype", "data_on_error", "keep_checkpoints", "zero_optimizer",
-    "fsdp",
+    "fsdp", "compilation_cache_dir",
 })
 
 

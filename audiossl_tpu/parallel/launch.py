@@ -51,3 +51,34 @@ def maybe_init_distributed() -> bool:
 
 def process_info() -> tuple[int, int]:
     return jax.process_index(), jax.process_count()
+
+
+def setup_compilation_cache(run_cfg: dict | None = None) -> str | None:
+    """Enable JAX's persistent compilation cache for fast restarts.
+
+    Cold-start compiles dominate relaunch latency (the MViT family takes
+    minutes per shape; this sandbox's remote-compile service 20 s – 2 min).
+    The persistent cache keys compiled executables by (HLO, compile options,
+    runtime version), so preemption-resume (train/preemption.py) and
+    repeated launches of the same config skip straight to execution — the
+    TPU answer to the reference's warm CUDA context across SLURM requeues.
+
+    Resolution order: AUDIOSSL_COMPILATION_CACHE env var, then
+    run.compilation_cache_dir. Absent/empty leaves JAX's default (off).
+    Returns the activated directory, or None when disabled.
+    """
+    path = os.environ.get("AUDIOSSL_COMPILATION_CACHE")
+    if not path and run_cfg:
+        path = run_cfg.get("compilation_cache_dir")
+    if not path:
+        return None
+    path = os.path.abspath(os.path.expanduser(str(path)))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache every entry: the default 1 s floor would skip the small jitted
+    # helpers (aug-state init, window crop) that still pay remote-compile
+    # round trips; disk cost is negligible next to the encoder executables
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    log.info("persistent compilation cache at %s", path)
+    return path

@@ -385,6 +385,9 @@ def main():
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     config = load_config(args.config, "mast_ft")
+    from audiossl_tpu.parallel.launch import setup_compilation_cache
+
+    setup_compilation_cache(config.get("run"))
     if args.epochs is not None:
         config["run"]["epochs"] = args.epochs
     if args.batch_size is not None:

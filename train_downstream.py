@@ -41,8 +41,10 @@ def main():
 
     from audiossl_tpu.config import CONFIG_DIR, load_config
     from audiossl_tpu.downstream.probe import run_downstream
+    from audiossl_tpu.parallel.launch import setup_compilation_cache
 
     config = load_config(args.config or os.path.join(CONFIG_DIR, "downstream.yaml"))
+    setup_compilation_cache(config.get("run"))
     if args.encoder is not None:
         config["downstream"]["base_encoder"]["type"] = args.encoder
     if args.epochs is not None:

@@ -30,11 +30,12 @@ def get_args():
 def main(args):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     from audiossl_tpu.config import load_config
-    from audiossl_tpu.parallel.launch import maybe_init_distributed
+    from audiossl_tpu.parallel.launch import maybe_init_distributed, setup_compilation_cache
 
     maybe_init_distributed()
 
     config = load_config(args.config, args.upstream)
+    setup_compilation_cache(config.get("run"))
     if args.epochs is not None:
         config["run"]["epochs"] = args.epochs
     if args.batch_size is not None:
