@@ -139,20 +139,31 @@ void resample(const std::vector<float>& in, int sr_in, int sr_out,
   }
 }
 
-bool read_file(const char* path, std::vector<uint8_t>* buf) {
+// offset/length select a byte range (tar-shard member); length < 0 = to EOF
+bool read_file_range(const char* path, long long offset, long long length,
+                     std::vector<uint8_t>* buf) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   fseek(f, 0, SEEK_END);
-  long n = ftell(f);
-  fseek(f, 0, SEEK_SET);
-  if (n <= 0) {
+  long long end = ftell(f);
+  if (offset < 0 || offset > end) {
     fclose(f);
     return false;
   }
+  long long n = length < 0 ? end - offset : length;
+  if (n <= 0 || offset + n > end) {
+    fclose(f);
+    return false;
+  }
+  fseek(f, (long)offset, SEEK_SET);
   buf->resize((size_t)n);
   size_t got = fread(buf->data(), 1, (size_t)n, f);
   fclose(f);
   return got == (size_t)n;
+}
+
+bool read_file(const char* path, std::vector<uint8_t>* buf) {
+  return read_file_range(path, 0, -1, buf);
 }
 
 // extract_window semantics: pad-center (extra right) or uniform random crop
@@ -188,8 +199,12 @@ int avl_decode(const char* path, int target_sr, float* out, long cap) {
   return (int)n;
 }
 
-int avl_load_batch(const char** paths, int n, int clip_samples, int target_sr,
-                   unsigned long long seed, int n_threads, float* out) {
+// offsets/lengths may be null (whole files) or per-clip byte ranges into
+// tar shards (data/tar.py resolves member -> (offset, length))
+int avl_load_batch2(const char** paths, const long long* offsets,
+                    const long long* lengths, int n, int clip_samples,
+                    int target_sr, unsigned long long seed, int n_threads,
+                    float* out) {
   std::atomic<int> next(0);
   std::atomic<int> failed(0);
   auto worker = [&]() {
@@ -200,7 +215,10 @@ int avl_load_batch(const char** paths, int n, int clip_samples, int target_sr,
       const int i = next.fetch_add(1);
       if (i >= n) return;
       buf.clear();
-      if (!read_file(paths[i], &buf) || !parse_wav(buf.data(), buf.size(), &wav)) {
+      const long long off = offsets ? offsets[i] : 0;
+      const long long len = lengths ? lengths[i] : -1;
+      if (!read_file_range(paths[i], off, len, &buf) ||
+          !parse_wav(buf.data(), buf.size(), &wav)) {
         failed.store(i + 1);
         memset(out + (size_t)i * clip_samples, 0, sizeof(float) * clip_samples);
         continue;
@@ -215,5 +233,11 @@ int avl_load_batch(const char** paths, int n, int clip_samples, int target_sr,
   for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
   for (auto& t : threads) t.join();
   return -failed.load();
+}
+
+int avl_load_batch(const char** paths, int n, int clip_samples, int target_sr,
+                   unsigned long long seed, int n_threads, float* out) {
+  return avl_load_batch2(paths, nullptr, nullptr, n, clip_samples, target_sr,
+                         seed, n_threads, out);
 }
 }

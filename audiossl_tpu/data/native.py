@@ -56,6 +56,13 @@ def get_lib():
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_ulonglong, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
         ]
+        lib.avl_load_batch2.restype = ctypes.c_int
+        lib.avl_load_batch2.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_longlong),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_ulonglong, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ]
         _lib = lib
         return _lib
 
@@ -67,21 +74,26 @@ def available() -> bool:
 def load_batch(
     paths: list[str], clip_samples: int, target_sr: int = 16000, seed: int = 0,
     n_threads: int = 8, on_error: str = "raise",
+    offsets: list[int] | None = None, lengths: list[int] | None = None,
 ) -> np.ndarray | None:
     """Decode + window a batch natively -> [n, clip_samples] f32, or None.
 
-    ``on_error='zeros'``: failed clips stay silence (the C++ loader
-    zero-fills a failed row before reporting it — wavloader.cpp
-    avl_load_batch) and a warning names one failing file instead of
-    raising; the production policy for web-scale corpora."""
+    ``offsets``/``lengths`` select per-clip byte ranges (tar-shard members,
+    data/tar.py; length -1 = to EOF). ``on_error='zeros'``: failed clips
+    stay silence (the C++ loader zero-fills a failed row before reporting
+    it — wavloader.cpp avl_load_batch2) and a warning names one failing
+    file instead of raising; the production policy for web-scale corpora."""
     lib = get_lib()
     if lib is None:
         return None
     n = len(paths)
     out = np.empty((n, clip_samples), np.float32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    rc = lib.avl_load_batch(
-        arr, n, clip_samples, target_sr, ctypes.c_ulonglong(seed & (2**64 - 1)), n_threads,
+    offs = (ctypes.c_longlong * n)(*offsets) if offsets is not None else None
+    lens = (ctypes.c_longlong * n)(*lengths) if lengths is not None else None
+    rc = lib.avl_load_batch2(
+        arr, offs, lens, n, clip_samples, target_sr,
+        ctypes.c_ulonglong(seed & (2**64 - 1)), n_threads,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     if rc != 0:

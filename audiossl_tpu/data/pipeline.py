@@ -78,6 +78,20 @@ class ManifestLoader:
             import os
 
             self.files = [os.path.join(path_prefix, f) for f in self.files]
+        # tar-shard corpora (data/tar.py): `shard.tar::member` rows are
+        # per-clip byte ranges; a bare `shard.tar` row expands to all its
+        # .wav members (unlabeled only — expansion changes the row count,
+        # so labeled manifests must address members explicitly)
+        from audiossl_tpu.data import tar as tarmod
+
+        if any(f.endswith(".tar") and not tarmod.is_tar_entry(f) for f in self.files):
+            if labeled:
+                raise ValueError(
+                    "bare .tar manifest rows cannot carry labels; list "
+                    "`shard.tar::member.wav` rows with a label column instead"
+                )
+            self.files = tarmod.expand_manifest(self.files)
+        self._any_tar = any(tarmod.is_tar_entry(f) for f in self.files)
         self.labels = None
         if labeled:
             # reuse the train split's mapping for valid/test (train_downstream.py:59)
@@ -105,7 +119,18 @@ class ManifestLoader:
 
     def _load_one(self, idx: int, rng: np.random.Generator) -> np.ndarray:
         try:
-            wave = load_wave(self.files[idx], self.sample_rate)
+            f = self.files[idx]
+            if self._any_tar:
+                from audiossl_tpu.data import tar as tarmod
+
+                if tarmod.is_tar_entry(f):
+                    from audiossl_tpu.data.wav import load_wave_bytes
+
+                    wave = load_wave_bytes(tarmod.read_entry_bytes(f), self.sample_rate)
+                else:
+                    wave = load_wave(f, self.sample_rate)
+            else:
+                wave = load_wave(f, self.sample_rate)
         except Exception:
             if self.on_error != "zeros":
                 raise
@@ -159,13 +184,21 @@ class ManifestLoader:
                         [self.seed, epoch, b, *host_key]
                     ).generate_state(1)[0]
                 )
+                batch_files = [self.files[i] for i in idxs]
+                offsets = lengths = None
+                if self._any_tar:
+                    from audiossl_tpu.data import tar as tarmod
+
+                    batch_files, offsets, lengths = tarmod.resolve_ranges(batch_files)
                 waves = native.load_batch(
-                    [self.files[i] for i in idxs],
+                    batch_files,
                     self.clip_samples,
                     self.sample_rate,
                     seed=batch_seed,
                     n_threads=max(self.num_workers, 1),
                     on_error=self.on_error,
+                    offsets=offsets,
+                    lengths=lengths,
                 )
             else:
                 waves = np.stack([self._load_one(i, rng) for i in idxs]).astype(np.float32)

@@ -16,8 +16,11 @@ import numpy as np
 from scipy.signal import resample_poly
 
 
-def decode_wav(path: str) -> tuple[np.ndarray, int]:
-    """-> (float32 mono waveform in [-1, 1], sample_rate)."""
+def decode_wav(path) -> tuple[np.ndarray, int]:
+    """-> (float32 mono waveform in [-1, 1], sample_rate).
+
+    ``path`` may be a filesystem path or a binary file-like object (the
+    tar-shard loader hands in a BytesIO of the member's byte range)."""
     with wave.open(path, "rb") as w:
         sr = w.getframerate()
         n = w.getnframes()
@@ -49,6 +52,17 @@ def decode_wav(path: str) -> tuple[np.ndarray, int]:
 def load_wave(path: str, target_sr: int = 16000) -> np.ndarray:
     """Decode + resample to ``target_sr`` (librosa.load equivalent)."""
     data, sr = decode_wav(path)
+    if sr != target_sr:
+        g = np.gcd(sr, target_sr)
+        data = resample_poly(data, target_sr // g, sr // g).astype(np.float32)
+    return data
+
+
+def load_wave_bytes(buf: bytes, target_sr: int = 16000) -> np.ndarray:
+    """decode + resample a WAV held in memory (tar-shard member bytes)."""
+    import io
+
+    data, sr = decode_wav(io.BytesIO(buf))
     if sr != target_sr:
         g = np.gcd(sr, target_sr)
         data = resample_poly(data, target_sr // g, sr // g).astype(np.float32)
