@@ -52,6 +52,7 @@ class ManifestLoader:
         wire_dtype: str = "float32",  # 'int16' halves host->device bytes
         host_shard: tuple[int, int] | None = None,  # (process_index, process_count)
         on_error: str = "raise",  # 'zeros': warn + silence clip for bad files
+        balanced: bool = False,  # inverse-class-frequency sampling w/ replacement
     ):
         # 'raise' (default) keeps strict semantics; 'zeros' is the
         # production policy for web-scale corpora where a handful of
@@ -99,6 +100,19 @@ class ManifestLoader:
                 l: i for i, l in enumerate(sorted(set(self.df[label_col])))
             }
             self.labels = np.asarray([self.label_to_id[l] for l in self.df[label_col]], np.int32)
+        # class-balanced epoch: draw num_samples indices WITH replacement,
+        # each sample weighted 1/count(its class) — the reference's
+        # (commented-out) WeightedRandomSampler intent for long-tailed
+        # corpora (extras/mast_new/mast/moco_dataset.py:154-166). Seeded per
+        # epoch like the shuffle, so pod hosts draw the same global order
+        # and rank-slice it.
+        self.balanced = balanced
+        if balanced:
+            if self.labels is None:
+                raise ValueError("balanced=True requires a labeled manifest")
+            counts = np.bincount(self.labels)
+            w = 1.0 / counts[self.labels]
+            self._balanced_p = w / w.sum()
         self.batch_size = batch_size
         self.clip_samples = clip_samples
         self.sample_rate = sample_rate
@@ -151,9 +165,16 @@ class ManifestLoader:
         """``order`` overrides the shuffle with an explicit index sequence
         (the DeepCluster-v1 UnifLabelSampler epoch — utils.py:105-148)."""
         if order is None:
-            order = np.arange(len(self.files))
-            if self.shuffle:
-                np.random.default_rng(self.seed + epoch).shuffle(order)
+            if self.balanced:
+                # weighted draw is already a random order; `shuffle` is moot
+                order = np.random.default_rng(self.seed + epoch).choice(
+                    len(self.files), size=len(self.files), replace=True,
+                    p=self._balanced_p,
+                )
+            else:
+                order = np.arange(len(self.files))
+                if self.shuffle:
+                    np.random.default_rng(self.seed + epoch).shuffle(order)
         else:
             order = np.asarray(order)
         if self.host_shard is not None:

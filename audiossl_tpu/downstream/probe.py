@@ -78,6 +78,11 @@ def _build_loaders(config, args):
     train = ManifestLoader(
         train_csv, batch, clip, sr, labeled=True, shuffle=True,
         num_workers=workers, file_col=file_col, seed=1, labels_map=labels_map,
+        # opt-in inverse-class-frequency sampling for long-tailed tasks
+        # (reference's commented WeightedRandomSampler,
+        # extras/mast_new/mast/moco_dataset.py:154-166); train split only —
+        # eval splits must see every sample exactly once
+        balanced=bool(ds.get("balanced_sampling", False)),
     )
     test = ManifestLoader(
         test_csv, batch, clip, sr, labeled=True, shuffle=False, drop_last=False,
