@@ -73,6 +73,7 @@ def _build_loaders(config, args):
         return build_task_loaders(
             task, batch, sr, workers=workers, data_root=args.get("data_root"),
             train_csv=train_csv, test_csv=test_csv, valid_csv=valid_csv,
+            balanced=bool(ds.get("balanced_sampling", False)),
         )
     clip = int(duration * sr)
     train = ManifestLoader(

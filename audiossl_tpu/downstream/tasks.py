@@ -131,6 +131,7 @@ def build_task_loaders(
     train_csv: str | None = None,
     test_csv: str | None = None,
     valid_csv: str | None = None,
+    balanced: bool = False,  # train-split inverse-class-frequency sampling
 ):
     """(train, valid, test, clip_samples) loaders with the task's reference
     semantics: duration window, label vocabulary, CSV layout, path joins,
@@ -155,7 +156,7 @@ def build_task_loaders(
         )
         train = ManifestLoader(
             train_df, batch, clip, sr, shuffle=True, num_workers=workers, seed=1,
-            labels_map=task.labels, **common,
+            labels_map=task.labels, balanced=balanced, **common,
         )
         test = ManifestLoader(
             test_df, batch, clip, sr, shuffle=False, drop_last=False,
@@ -169,7 +170,7 @@ def build_task_loaders(
     valid_csv = valid_csv or t_valid
     train = ManifestLoader(
         train_csv, batch, clip, sr, shuffle=True, num_workers=workers, seed=1,
-        labels_map=task.labels, **common,
+        labels_map=task.labels, balanced=balanced, **common,
     )
     test = ManifestLoader(
         test_csv, batch, clip, sr, shuffle=False, drop_last=False,
