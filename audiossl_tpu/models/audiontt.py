@@ -156,9 +156,23 @@ class ConvBlock(nn.Module):
                     "True only if nothing trainable feeds this block."
                 )
             from audiossl_tpu.ops.block1 import (
-                block1_batch_stats, block1_streams, fused_block1,
+                block1_batch_stats, block1_streams, carries_tangent, fused_block1,
             )
 
+            # Trace-time enforcement of the dead-input-cotangent invariant:
+            # fused_dead_input_grad_ok asserts "nothing trainable upstream",
+            # but a trainable frontend/adapter would make the input carry a
+            # tangent under jax.grad — catch that here instead of silently
+            # returning zero gradients to it (ops/block1.py docstring).
+            if carries_tangent(x):
+                raise ValueError(
+                    "ConvBlock(fused=True): the block input is being "
+                    "differentiated through (a trainable module feeds this "
+                    "block), but the fused Pallas path returns a zeros input "
+                    "cotangent — its gradients would silently vanish. Use "
+                    "fused_block1=False on AudioNTT2020Task6 (or drop the "
+                    "trainable module upstream)."
+                )
             x3 = x[..., 0] if x.ndim == 4 else x
             b, t, f = x3.shape
             kernel, cbias = _ConvParams(self.features, name="Conv_0")()

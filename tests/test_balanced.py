@@ -53,15 +53,19 @@ def test_balanced_epoch_deterministic(skewed_csv):
 
 def test_balanced_host_shards_partition_one_draw(skewed_csv):
     # pod semantics: every host draws the same weighted order, then takes
-    # its rank-strided slice — union of slices == the single-host draw
-    single = _loader(skewed_csv)
-    hosts = [_loader(skewed_csv, host_shard=(i, 2)) for i in range(2)]
-    rng = np.random.default_rng(7 + 0)
-    full = rng.choice(12, size=12, replace=True, p=single._balanced_p)
-    got = [ld._host_slice(full.copy()) for ld in hosts]
-    interleaved = np.empty(12, dtype=full.dtype)
-    interleaved[0::2], interleaved[1::2] = got[0], got[1]
-    assert np.array_equal(interleaved, full)
+    # its rank-strided slice — union of slices == the single-host draw.
+    # Exercised through epoch() itself (not its internals) so any change to
+    # the balanced seed derivation that breaks pod-host consistency fails
+    # here (ADVICE r3): interleaving the hosts' label streams must
+    # reconstruct the single-host label stream, epoch after epoch.
+    single = _loader(skewed_csv, drop_last=False)
+    hosts = [_loader(skewed_csv, host_shard=(i, 2), drop_last=False) for i in range(2)]
+    for ep in range(3):
+        full = np.concatenate([l for _, l in single.epoch(ep)])
+        got = [np.concatenate([l for _, l in ld.epoch(ep)]) for ld in hosts]
+        interleaved = np.empty(12, dtype=full.dtype)
+        interleaved[0::2], interleaved[1::2] = got[0], got[1]
+        assert np.array_equal(interleaved, full), f"epoch {ep}"
 
 
 def test_balanced_requires_labels(skewed_csv):
