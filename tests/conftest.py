@@ -39,6 +39,7 @@ SLOW_MODULES = {
     "test_reference_equiv_mast",
     "test_reference_equiv_downstream",
     "test_preemption",  # two e2e delores_s runs + multi-second SIGTERM waits
+    "test_kmix_e2e",  # three pretrain compiles + a clustering pass
 }
 
 
