@@ -39,6 +39,10 @@ class DownstreamModel(nn.Module):
     # tokens, MViT's grid-pooled attention is not (the reference's commented
     # draft would have broken its thw grid the same way).
     patch_drop: float = 0.0
+    # fused-attention override for the AST encoder ("auto" | "on" | "off").
+    # Tensor-parallel runs must pass "off": the Pallas kernel cannot be
+    # partitioned by GSPMD (parallel/tp_ast.py module docstring).
+    ast_fused_attention: str = "auto"
 
     @nn.compact
     def __call__(self, v: jax.Array, train: bool = False) -> jax.Array:
@@ -79,11 +83,17 @@ class DownstreamModel(nn.Module):
                 **({"compute_dtype": self.compute_dtype} if self.compute_dtype is not None else {}),
             )(v, train)
         elif self.encoder_type == "AST":
+            import dataclasses
+
             from audiossl_tpu.models.ast import ASTConfig, ASTEncoder
 
+            cfg = dataclasses.replace(
+                getattr(ASTConfig, self.model_size)(),
+                fused_attention=self.ast_fused_attention,
+            )
             h = ASTEncoder(
                 input_fdim=self.n_mels, input_tdim=self.input_tdim,
-                cfg=getattr(ASTConfig, self.model_size)(), name="encoder",
+                cfg=cfg, name="encoder",
                 patch_drop=self.patch_drop,
                 **({"compute_dtype": self.compute_dtype} if self.compute_dtype is not None else {}),
             )(v, train)

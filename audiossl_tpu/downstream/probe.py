@@ -107,9 +107,29 @@ def _build_loaders(config, args):
 
 
 def run_downstream(config: dict[str, Any], args: dict[str, Any]):
-    mesh = make_mesh(int(config["run"].get("world_size", 0)) or None)
-    n_dev = mesh.devices.size
     ds = config["downstream"]
+    # downstream.tp: tensor-parallel AST fine-tuning/probing — the encoder's
+    # attention heads and MLP hidden dim live 1/tp per chip over the model
+    # axis of a ('data', 'model') mesh (parallel/tp_ast.py); the batch rides
+    # the data axis. GSPMD step (plain jit + shardings) instead of shard_map
+    # — same sanctioned-exception shape as the FSDP steps (CLAUDE.md).
+    tp = int(ds.get("tp", 0) or 0)
+    if tp > 1:
+        if str(ds["base_encoder"].get("type")) != "AST":
+            raise ValueError(
+                "downstream.tp requires base_encoder.type: AST (head-sharded "
+                "plain-ViT attention, parallel/tp_ast.py); "
+                f"got {ds['base_encoder'].get('type')!r}"
+            )
+        from audiossl_tpu.parallel.tp_ast import make_dp_tp_mesh
+
+        n = int(config["run"].get("world_size", 0)) or len(jax.devices())
+        if n % tp:
+            raise ValueError(f"{n} devices not divisible by downstream.tp={tp}")
+        mesh = make_dp_tp_mesh(n // tp, tp)
+    else:
+        mesh = make_mesh(int(config["run"].get("world_size", 0)) or None)
+    n_dev = mesh.devices.size
     train_loader, valid_loader, test_loader, clip = _build_loaders(config, args)
     num_classes = len(train_loader.label_to_id)
     mel_cfg = LogMelConfig(
@@ -127,6 +147,8 @@ def run_downstream(config: dict[str, Any], args: dict[str, Any]):
         input_tdim=n_frames,
         model_size=str(ds["base_encoder"].get("model_size", "base")),
         patch_drop=float(ds["base_encoder"].get("patch_drop", 0.0)),
+        # GSPMD cannot partition the Pallas attention kernel (tp_ast.py)
+        ast_fused_attention="off" if tp > 1 else "auto",
     )
     dummy = jnp.zeros((2, mel_cfg.n_mels, n_frames, 1), jnp.float32)
     # jitted init: eager flax init of a transformer encoder is minutes of
@@ -194,9 +216,7 @@ def run_downstream(config: dict[str, Any], args: dict[str, Any]):
         tx = optax.adam(lr)
     opt_state = tx.init(params)
 
-    def train_step(params, batch_stats, opt_state, waves, labels, key):
-        lms = jnp.transpose(log_mel(waves, mel_cfg)[:, :, :, None], (0, 1, 2, 3))
-
+    def _loss_grads(params, batch_stats, lms, labels, key):
         def loss_fn(p):
             logits, mut = model.apply(
                 {"params": p, "batch_stats": batch_stats},
@@ -207,37 +227,85 @@ def run_downstream(config: dict[str, Any], args: dict[str, Any]):
             )
             return cross_entropy(logits, labels), mut["batch_stats"]
 
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        grads = jax.lax.pmean(grads, DATA_AXIS)
-        loss = jax.lax.pmean(loss, DATA_AXIS)
-        updates, new_opt = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), new_bs, new_opt, loss
-
-    train_step = jax.jit(
-        shard_map(
-            train_step,
-            mesh=mesh,
-            in_specs=(P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
-            out_specs=(P(), P(), P(), P()),
-            check_vma=False,
-        ),
-        donate_argnums=(0, 1, 2),  # params/batch_stats/opt_state update in place
-    )
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
 
     def eval_fn(params, batch_stats, waves):
         lms = log_mel(waves, mel_cfg)[:, :, :, None]
         logits = model.apply({"params": params, "batch_stats": batch_stats}, lms, False)
         return jnp.argmax(logits, axis=1)
 
-    # evaluation rides the same data mesh as training (a single-device jit
-    # would leave the rest of a pod idle — VERDICT r1 Weak #7)
-    eval_step = jax.jit(
-        shard_map(
-            eval_fn, mesh=mesh,
-            in_specs=(P(), P(), P(DATA_AXIS)), out_specs=P(DATA_AXIS),
-            check_vma=False,
+    repl = NamedSharding(mesh, P())
+    if tp > 1:
+        # GSPMD tensor-parallel step (plain jit + shardings): the encoder's
+        # params/grads/moments are head/column/row-sharded on the model
+        # axis, the head stays replicated, the batch shards on data. The
+        # cross_entropy mean over the (logically whole) batch is already
+        # the global mean — no pmean (fsdp.py loss-function contract).
+        from audiossl_tpu.parallel.tp_ast import ast_tp_shardings
+
+        batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+        p_sh = {
+            "encoder": ast_tp_shardings(params["encoder"], mesh),
+            "final": jax.tree.map(lambda _: repl, params["final"]),
+        }
+        params = jax.device_put(params, p_sh)
+        batch_stats = jax.device_put(batch_stats, repl)
+        # moments inherit the param layout through jit's sharding propagation;
+        # input-independent leaves (Adam's step count) come out single-device
+        # and are re-pinned replicated on the mesh
+        opt_state = jax.jit(tx.init)(params)
+        o_sh = jax.tree.map(
+            lambda a: a.sharding if isinstance(a.sharding, NamedSharding) else repl,
+            opt_state,
         )
-    )
+        opt_state = jax.device_put(opt_state, o_sh)
+
+        def train_step_tp(params, batch_stats, opt_state, waves, labels, key):
+            lms = log_mel(waves, mel_cfg)[:, :, :, None]
+            (loss, new_bs), grads = _loss_grads(params, batch_stats, lms, labels, key)
+            grads = jax.lax.with_sharding_constraint(grads, p_sh)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_bs, new_opt, loss
+
+        train_step = jax.jit(
+            train_step_tp,
+            in_shardings=(p_sh, repl, o_sh, batch_sh, batch_sh, repl),
+            out_shardings=(p_sh, repl, o_sh, repl),
+            donate_argnums=(0, 1, 2),
+        )
+        eval_step = jax.jit(
+            eval_fn, in_shardings=(p_sh, repl, batch_sh), out_shardings=batch_sh
+        )
+    else:
+
+        def train_step_dp(params, batch_stats, opt_state, waves, labels, key):
+            lms = jnp.transpose(log_mel(waves, mel_cfg)[:, :, :, None], (0, 1, 2, 3))
+            (loss, new_bs), grads = _loss_grads(params, batch_stats, lms, labels, key)
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            loss = jax.lax.pmean(loss, DATA_AXIS)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_bs, new_opt, loss
+
+        train_step = jax.jit(
+            shard_map(
+                train_step_dp,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+                out_specs=(P(), P(), P(), P()),
+                check_vma=False,
+            ),
+            donate_argnums=(0, 1, 2),  # params/batch_stats/opt_state update in place
+        )
+
+        # evaluation rides the same data mesh as training (a single-device jit
+        # would leave the rest of a pod idle — VERDICT r1 Weak #7)
+        eval_step = jax.jit(
+            shard_map(
+                eval_fn, mesh=mesh,
+                in_specs=(P(), P(), P(DATA_AXIS)), out_specs=P(DATA_AXIS),
+                check_vma=False,
+            )
+        )
 
     exp_root = os.path.join(str(args.get("exp_dir", "./exp")), str(args.get("task", "task")))
     os.makedirs(exp_root, exist_ok=True)
@@ -257,10 +325,10 @@ def run_downstream(config: dict[str, Any], args: dict[str, Any]):
             acc.update(preds == labels)
         return acc.avg
 
-    repl = NamedSharding(mesh, P())
-    params, batch_stats, opt_state = jax.tree.map(
-        lambda a: jax.device_put(a, repl), (params, batch_stats, opt_state)
-    )
+    if tp <= 1:  # tp placement happened at step construction above
+        params, batch_stats, opt_state = jax.tree.map(
+            lambda a: jax.device_put(a, repl), (params, batch_stats, opt_state)
+        )
 
     epochs = int(config["run"].get("epochs", 100))
     test_acc_hist = []
