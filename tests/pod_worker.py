@@ -94,6 +94,78 @@ def main() -> None:
         np.asarray(jax.tree.leaves(restored.params)[0]),
         np.asarray(jax.tree.leaves(state.params)[0]),
     )
+    # the driver restores this checkpoint into a 1-process x 8-device mesh
+    # (reshard-on-restore); give it a params fingerprint to compare against
+    psum = sum(float(jnp.sum(l)) for l in jax.tree.leaves(state.params))
+
+    # (a) DeLoRes-M across the PROCESS boundary: the queue all_gather and
+    # pointer advance — the reference's concat_all_gather dequeue-and-enqueue
+    # over NCCL ranks (src/upstream/delores_m/upstream_expert.py:156-219) —
+    # must collect keys from BOTH hosts' devices and agree on the pointer.
+    config_m = load_config(None, "delores_m")
+    config_m["run"]["batch_size"] = global_batch
+    config_m["pretrain"]["base_encoder"]["output_dim"] = 64
+    config_m["pretrain"]["projection_dim"] = 32
+    config_m["pretrain"]["contrastive_dim"] = 16
+    config_m["pretrain"]["num_negatives"] = 2 * global_batch
+    obj_m = get_objective("delores_m")(config_m)
+    pipe_m = AugmentPipeline(AugmentConfig.from_dict(config_m["pretrain"]), epoch_samples=1000)
+    state_m = init_train_state(
+        obj_m, pipe_m, mel_cfg, tx, mesh, jax.random.key(1),
+        global_batch // mesh.devices.size, clip,
+    )
+    step_m = make_train_step(obj_m, pipe_m, mel_cfg, tx, mesh)
+    waves_m, _ = next(iter(loader.epoch(1)))
+    state_m, metrics_m = step_m(state_m, shard_batch(mesh, waves_m))
+    moco_loss = float(metrics_m["train_loss"])
+    assert np.isfinite(moco_loss)
+    ptr = int(state_m.ssl_state.queue_ptr)  # replicated across the pod
+    assert ptr == global_batch, f"queue ptr {ptr} != global batch {global_batch}"
+    # fingerprint of the enqueued (all-gathered) keys: identical on both
+    # hosts iff the gather crossed the process boundary consistently
+    qsum = float(jnp.sum(state_m.ssl_state.queue[:, :global_batch].astype(jnp.float32)))
+
+    # (b) FSDP/GSPMD with process_count == 2: params/grads/moments sharded
+    # 1/8 per device ACROSS hosts via sharding annotations (parallel/fsdp.py)
+    import optax  # noqa: E402
+
+    from audiossl_tpu.parallel.fsdp import make_fsdp_train_step, tree_shardings
+    from audiossl_tpu.parallel.mesh import host_to_mesh
+
+    rngf = np.random.default_rng(7)  # identical draw on both hosts
+    pf_host = {
+        "w1": rngf.standard_normal((64, 128)).astype(np.float32),
+        "w2": rngf.standard_normal((128, 8)).astype(np.float32),
+    }
+    pf_sh = tree_shardings(pf_host, mesh)
+    # host-replicated values -> globally sharded arrays (device_put can't
+    # target non-addressable devices; assemble from per-host callbacks)
+    pf = jax.tree.map(
+        lambda a, s: jax.make_array_from_callback(a.shape, s, lambda idx: a[idx]),
+        pf_host, pf_sh,
+    )
+    assert pf["w1"].addressable_shards[0].data.shape == (64, 16)  # 128/8 cols
+    txf = optax.adam(1e-2)
+    opt_f = jax.jit(
+        txf.init, out_shardings=tree_shardings(jax.eval_shape(txf.init, pf), mesh)
+    )(pf)
+
+    def loss_f(p, batch, key):
+        del key
+        x, y = batch
+        h = jnp.tanh(jnp.matmul(x, p["w1"], precision=jax.lax.Precision.HIGHEST))
+        return jnp.mean((jnp.matmul(h, p["w2"], precision=jax.lax.Precision.HIGHEST) - y) ** 2)
+
+    step_f = make_fsdp_train_step(loss_f, txf, mesh, pf)
+    rngb = np.random.default_rng(11 + rank)  # per-host local slice
+    xb = rngb.standard_normal((global_batch // count, 64)).astype(np.float32)
+    yb = rngb.standard_normal((global_batch // count, 8)).astype(np.float32)
+    key_f = host_to_mesh(mesh, jax.random.key(5))
+    pf, opt_f, loss_fsdp = step_f(pf, opt_f, shard_batch(mesh, (xb, yb)), key_f)
+    loss_fsdp = float(loss_fsdp)
+    assert np.isfinite(loss_fsdp)
+    assert pf["w1"].addressable_shards[0].data.shape == (64, 16)  # stays sharded
+
     # preemption agreement: only rank 1 is "signalled" (self-delivered
     # SIGTERM through the real handler); should_stop() all-gathers the
     # flags so BOTH ranks agree to stop — the collective prerequisite for
@@ -110,8 +182,13 @@ def main() -> None:
         agreed = guard.should_stop()
         assert agreed is True, f"rank {rank} did not agree to stop"
 
-    # replicated pmean'd loss must agree across hosts — the test compares
-    print(f"POD_OK rank={rank} losses={losses[0]:.6f},{losses[1]:.6f}")
+    # every replicated quantity must agree across hosts — the test compares
+    # the full payload between ranks (and psum against the resharded restore)
+    print(
+        f"POD_OK rank={rank} payload="
+        f"losses={losses[0]:.6f},{losses[1]:.6f};psum={psum:.6f};"
+        f"moco={moco_loss:.6f};ptr={ptr};qsum={qsum:.6f};fsdp={loss_fsdp:.6f}"
+    )
 
 
 if __name__ == "__main__":
