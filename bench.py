@@ -155,6 +155,73 @@ def measure_train_step(batch: int = 256, iters: int = 20, repeats: int = 3) -> d
     return out
 
 
+def measure_ssmast_step(batch: int = 64, iters: int = 10, repeats: int = 3) -> dict:
+    """SS-MAST full MoCo-v3 step on MViT-base — the transformer family's
+    number of record in driver-visible form (VERDICT r3 Next #4): batched
+    views (2 concat passes of 2B), Kaldi-fbank frontend, AdamW, 10 s clips
+    per the reference's flagship recipe (extras/mast_new/mast/
+    1024_pretrain.sh). Median of ``repeats`` windows + XLA-FLOPs MFU, like
+    measure_train_step. First compile is minutes through the remote tunnel;
+    the persistent compilation cache (enabled in main()) makes repeat
+    driver runs skip it."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from audiossl_tpu.config import load_config
+    from audiossl_tpu.data.augment import AugmentConfig, AugmentPipeline
+    from audiossl_tpu.frontend import build_frontend
+    from audiossl_tpu.objectives import get_objective
+    from audiossl_tpu.parallel.mesh import make_mesh, shard_batch
+    from audiossl_tpu.train.step import init_train_state, make_train_step
+
+    clip = 160000  # 10 s @ 16 kHz (ssmast config input.length_wave)
+    mesh = make_mesh()
+    config = load_config(None, "ssmast")
+    config["run"]["batch_size"] = batch
+    obj = get_objective("ssmast")(config)
+    pre = config["pretrain"]
+    pipe = AugmentPipeline(AugmentConfig.from_dict(pre), epoch_samples=10**6)
+    mel_cfg = build_frontend(pre["input"])
+    tx = optax.adamw(3e-4)
+    norm = pre.get("normalization", "mean_var")
+    n_dev = mesh.devices.size
+    state = init_train_state(
+        obj, pipe, mel_cfg, tx, mesh, jax.random.key(0), batch // n_dev, clip,
+        normalization=norm,
+    )
+    step = make_train_step(obj, pipe, mel_cfg, tx, mesh, normalization=norm)
+    rng = np.random.default_rng(1)
+    waves = shard_batch(mesh, jnp.asarray(0.1 * rng.standard_normal((batch, clip)), jnp.float32))
+
+    flops = None
+    try:
+        analysis = step.jitted.lower(state, waves, None).compile().cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        flops = float(analysis["flops"])
+    except Exception:
+        pass
+
+    for _ in range(WARMUP):
+        state, metrics = step(state, waves)
+    float(metrics["train_loss"])
+    runs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, waves)
+        float(metrics["train_loss"])
+        dt = (time.perf_counter() - t0) / iters
+        runs.append(batch / dt)
+    med = float(np.median(runs))
+    out = {"clips_per_sec": med, "runs": [round(r, 1) for r in runs]}
+    if flops is not None:
+        out["flops_per_step"] = flops
+        out["mfu"] = round(flops * (med / batch) / V5E_BF16_PEAK, 4)
+    return out
+
+
 def measure_cpu_baseline(n_clips: int = 16) -> float:
     """Reference-style CPU pipeline: per-clip librosa-equivalent log-mel
     (the dataloader-worker hot spot, SURVEY.md §3.1) + torch conv encoder."""
@@ -204,6 +271,17 @@ def measure_cpu_baseline(n_clips: int = 16) -> float:
 
 
 def main():
+    # persistent compilation cache so repeat driver runs skip the MViT-base
+    # compile (minutes through the remote tunnel): AUDIOSSL_COMPILATION_CACHE
+    # wins, else a repo-local default; --no-cache disables
+    if "--no-cache" not in sys.argv:
+        from audiossl_tpu.parallel.launch import setup_compilation_cache
+
+        os.environ.setdefault(
+            "AUDIOSSL_COMPILATION_CACHE",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+        setup_compilation_cache()
     refresh = "--refresh-baseline" in sys.argv
     if os.path.exists(BASELINE_CACHE) and not refresh:
         baseline = json.load(open(BASELINE_CACHE))["cpu_clips_per_sec"]
@@ -223,6 +301,17 @@ def main():
     if "mfu" in train:
         record["train_mfu"] = train["mfu"]
         record["train_flops_per_step"] = train["flops_per_step"]
+    # the transformer family (SS-MAST MoCo on MViT-base): a regression in
+    # the flagship trainer must be driver-visible, not PERF.md-only
+    try:
+        ssmast = measure_ssmast_step()
+        record["ssmast_clips_per_sec"] = round(ssmast["clips_per_sec"], 1)
+        record["ssmast_runs"] = ssmast["runs"]
+        if "mfu" in ssmast:
+            record["ssmast_mfu"] = ssmast["mfu"]
+            record["ssmast_flops_per_step"] = ssmast["flops_per_step"]
+    except Exception as e:  # noqa: BLE001 - keep the core record on failure
+        record["ssmast_error"] = f"{type(e).__name__}: {e}"
     record.update(engaged_paths())
     print(json.dumps(record))
 
