@@ -3,12 +3,17 @@
 PERF.md's "within ~1.3x of a pass-counting HBM roofline" was asserted from
 pass counting, never measured end to end (VERDICT r3 Weak #4). This pins
 it: XLA's compiled-executable cost analysis reports the step's total
-"bytes accessed" (every operand read + result write the scheduler
-accounts); dividing by the measured median step time gives achieved GB/s,
-compared against the chip's measured ~290 GB/s elementwise bandwidth
-(PERF.md frontend section's methodology).
+"bytes accessed" — post-fusion operand reads + result writes, which on TPU
+(no cache between fusions; every fusion streams its operands from HBM) is
+the physical traffic up to the few buffers the scheduler pins in VMEM.
+Dividing by the measured median step time gives achieved GB/s, reported
+against (a) the v5e HBM peak (819 GB/s) and (b) this chip's measured
+single-stream elementwise rate (a donated x*a+b on 1 GB: 366 GB/s with
+read+write counted; 215 GB/s undonated) — the step's overlapping
+multi-stream DMA exceeds (b), so (a) is the meaningful ceiling.
 
 Run on the real chip: python profiling/step_bandwidth.py [batch=256]
+Measured 2026-08-20: 7.78 GB/step, 13.68 ms -> 569 GB/s = 69% of peak.
 """
 import os
 import sys
@@ -20,8 +25,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from audiossl_tpu.parallel.launch import setup_compilation_cache
+
+os.environ.setdefault(
+    "AUDIOSSL_COMPILATION_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+setup_compilation_cache()
+
 CLIP = 15200
-ELEMENTWISE_GBPS = 290.0  # measured effective elementwise HBM bandwidth (PERF.md)
+HBM_PEAK_GBPS = 819.0  # TPU v5e HBM bandwidth
+STREAM_GBPS = 366.0  # measured donated elementwise rate, read+write counted
 
 
 def main(batch=256, iters=20, repeats=3):
@@ -81,8 +95,10 @@ def main(batch=256, iters=20, repeats=3):
         gbps = total_bytes / dt / 1e9
         print(
             f"bytes accessed {total_bytes/1e6:.0f} MB/step -> achieved "
-            f"{gbps:.0f} GB/s = {100*gbps/ELEMENTWISE_GBPS:.0f}% of the "
-            f"measured {ELEMENTWISE_GBPS:.0f} GB/s elementwise bandwidth"
+            f"{gbps:.0f} GB/s = {100*gbps/HBM_PEAK_GBPS:.0f}% of the "
+            f"{HBM_PEAK_GBPS:.0f} GB/s v5e HBM peak "
+            f"({gbps/STREAM_GBPS:.2f}x the measured {STREAM_GBPS:.0f} GB/s "
+            f"single-stream elementwise rate)"
         )
 
 
