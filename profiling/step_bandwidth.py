@@ -14,6 +14,15 @@ multi-stream DMA exceeds (b), so (a) is the meaningful ceiling.
 
 Run on the real chip: python profiling/step_bandwidth.py [batch=256]
 Measured 2026-08-20: 7.78 GB/step, 13.68 ms -> 569 GB/s = 69% of peak.
+
+`--ssmast` applies the same methodology to the flagship SS-MAST MoCo step
+(MViT-base, B=64 batched views — bench.py's exact geometry, so the warm
+compilation cache applies). Measured 2026-08-20: 170 GB/step logical
+bytes, 142.6 ms -> 1192 GB/s = 146% of the physical peak, proving (a)
+bytes-accessed is logical traffic (VMEM re-read reuse exceeds HBM
+streaming), (b) no fusion/bandwidth headroom remains on that step — its
+14.6% MFU is the small-geometry occupancy ceiling (PERF.md SS-MAST
+section), with the MXU floor at only 15% of the measured step.
 """
 import os
 import sys
@@ -36,6 +45,85 @@ setup_compilation_cache()
 CLIP = 15200
 HBM_PEAK_GBPS = 819.0  # TPU v5e HBM bandwidth
 STREAM_GBPS = 366.0  # measured donated elementwise rate, read+write counted
+BF16_PEAK_FLOPS = 197e12  # v5e bf16 MXU peak
+
+
+def _report(compiled, dt, label):
+    analysis = compiled.cost_analysis()
+    if isinstance(analysis, list):
+        analysis = analysis[0]
+    total_bytes = analysis.get("bytes accessed")
+    flops = analysis.get("flops")
+    print(f"{label}: {dt*1e3:.2f} ms/step")
+    if not total_bytes:
+        return
+    gbps = total_bytes / dt / 1e9
+    print(
+        f"bytes accessed {total_bytes/1e6:.0f} MB/step -> achieved "
+        f"{gbps:.0f} GB/s = {100*gbps/HBM_PEAK_GBPS:.0f}% of the "
+        f"{HBM_PEAK_GBPS:.0f} GB/s v5e HBM peak "
+        f"({gbps/STREAM_GBPS:.2f}x the measured {STREAM_GBPS:.0f} GB/s "
+        f"single-stream elementwise rate)"
+    )
+    if flops:
+        mxu_floor = flops / BF16_PEAK_FLOPS
+        hbm_floor = total_bytes / (HBM_PEAK_GBPS * 1e9)
+        print(
+            f"roofline floors: MXU {mxu_floor*1e3:.2f} ms "
+            f"({100*flops/BF16_PEAK_FLOPS/dt:.0f}% MFU) + HBM "
+            f"{hbm_floor*1e3:.2f} ms; serial sum = "
+            f"{100*(mxu_floor+hbm_floor)/dt:.0f}% of the measured step, "
+            f"max = {100*max(mxu_floor, hbm_floor)/dt:.0f}%"
+        )
+
+
+def _time_step(step_fn, state, waves, iters, repeats):
+    for _ in range(3):
+        state, metrics = step_fn(state, waves)
+    float(metrics["train_loss"])
+    runs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step_fn(state, waves)
+        float(metrics["train_loss"])
+        runs.append((time.perf_counter() - t0) / iters)
+    print(f"windows: {[round(r*1e3, 2) for r in runs]}")
+    return float(np.median(runs))
+
+
+def main_ssmast(batch=64, iters=10, repeats=3):
+    """Flagship-transformer variant: bench.py's exact SS-MAST geometry."""
+    import optax
+
+    from audiossl_tpu.config import load_config
+    from audiossl_tpu.data.augment import AugmentConfig, AugmentPipeline
+    from audiossl_tpu.frontend import build_frontend
+    from audiossl_tpu.objectives import get_objective
+    from audiossl_tpu.parallel.mesh import make_mesh, shard_batch
+    from audiossl_tpu.train.step import init_train_state, make_train_step
+
+    clip = 160000  # 10 s @ 16 kHz
+    mesh = make_mesh()
+    config = load_config(None, "ssmast")
+    config["run"]["batch_size"] = batch
+    obj = get_objective("ssmast")(config)
+    pre = config["pretrain"]
+    pipe = AugmentPipeline(AugmentConfig.from_dict(pre), epoch_samples=10**6)
+    mel_cfg = build_frontend(pre["input"])
+    tx = optax.adamw(3e-4)
+    norm = pre.get("normalization", "mean_var")
+    state = init_train_state(
+        obj, pipe, mel_cfg, tx, mesh, jax.random.key(0),
+        batch // mesh.devices.size, clip, normalization=norm,
+    )
+    step = make_train_step(obj, pipe, mel_cfg, tx, mesh, normalization=norm)
+    waves = shard_batch(
+        mesh, jnp.asarray(0.1 * np.random.default_rng(1).standard_normal((batch, clip)), jnp.float32)
+    )
+    compiled = step.jitted.lower(state, waves, None).compile()
+    dt = _time_step(step, state, waves, iters, repeats)
+    _report(compiled, dt, f"ssmast B={batch} batched-views MoCo step")
 
 
 def main(batch=256, iters=20, repeats=3):
@@ -103,4 +191,8 @@ def main(batch=256, iters=20, repeats=3):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 256)
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--ssmast" in sys.argv:
+        main_ssmast(int(argv[0]) if argv else 64)
+    else:
+        main(int(argv[0]) if argv else 256)
