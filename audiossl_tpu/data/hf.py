@@ -36,6 +36,7 @@ class HFLoader:
         drop_last: bool = False,
         seed: int = 0,
         data_dir: str | None = None,
+        balanced: bool = False,
     ):
         version = HF_TASKS[task]
         data_dir = data_dir or os.environ.get("AUDIOSSL_HF_DATA_DIR")
@@ -59,6 +60,18 @@ class HFLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
+        # class-balanced epochs: inverse-class-frequency draw WITH
+        # replacement, seeded per epoch — ManifestLoader(balanced=True)
+        # semantics (the reference's commented-out WeightedRandomSampler
+        # intent, extras/mast_new/mast/moco_dataset.py:154-166) on the
+        # HF-hosted tasks, whose speech_commands splits are long-tailed
+        # (_silence_ is ~10x rarer than the word classes).
+        self.balanced = balanced
+        if balanced:
+            labels = np.asarray(self.dataset["label"], np.int64)
+            counts = np.bincount(labels, minlength=self.no_of_classes)
+            w = 1.0 / counts[labels]
+            self._balanced_p = w / w.sum()
 
     @property
     def num_samples(self) -> int:
@@ -69,9 +82,16 @@ class HFLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def epoch(self, epoch: int = 0):
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            np.random.default_rng(self.seed + epoch).shuffle(order)
+        if self.balanced:
+            # weighted draw is already a random order; `shuffle` is moot
+            order = np.random.default_rng(self.seed + epoch).choice(
+                len(self.dataset), size=len(self.dataset), replace=True,
+                p=self._balanced_p,
+            )
+        else:
+            order = np.arange(len(self.dataset))
+            if self.shuffle:
+                np.random.default_rng(self.seed + epoch).shuffle(order)
         rng = np.random.default_rng((self.seed, epoch))
         for b in range(len(self)):
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]

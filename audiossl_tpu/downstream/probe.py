@@ -49,16 +49,12 @@ def _build_loaders(config, args):
         from audiossl_tpu.data.hf import HFLoader, hf_available
 
         if hf_available(task_name):
-            if bool(ds.get("balanced_sampling", False)):
-                # HFLoader has no weighted sampling; say so instead of
-                # silently ignoring the knob (ADVICE r3)
-                log.warning(
-                    "downstream.balanced_sampling=True is not supported on the "
-                    "HF-hosted path (%s): HFLoader draws splits as-is; the "
-                    "setting is ignored", task_name,
-                )
             clip = int(duration * sr)
-            train = HFLoader(task_name, "train", batch, clip, sr, shuffle=True, drop_last=True, seed=1)
+            train = HFLoader(
+                task_name, "train", batch, clip, sr, shuffle=True,
+                drop_last=True, seed=1,
+                balanced=bool(ds.get("balanced_sampling", False)),
+            )
             test = HFLoader(task_name, "test", batch, clip, sr)
             # HF speech_commands always carries a validation split; evaluate
             # it per-epoch like the reference (train_downstream.py:104-117)

@@ -78,6 +78,41 @@ def test_hf_build_loaders_constructs_validation():
     assert waves.shape == (4, clip)
 
 
+def test_hf_loader_balanced_rebalances_skewed_split(tmp_path, monkeypatch):
+    """HFLoader(balanced=True): ManifestLoader's inverse-class-frequency
+    draw on the HF path (downstream.balanced_sampling no longer warns-and-
+    ignores there — ADVICE r3). Fixture classes are uniform, so skew one:
+    keep 6 rows of class 0 and 2 of class 1 (3:1) and check the weighted
+    epochs flatten it to ~1:1, deterministically per (seed, epoch)."""
+    import datasets
+
+    from audiossl_tpu.data.hf import HFLoader
+
+    train = datasets.load_from_disk(FIXTURE)["train"]
+    labels = np.asarray(train["label"])
+    keep = np.concatenate([np.where(labels == 0)[0][:6], np.where(labels == 1)[0][:2]])
+    skewed = datasets.DatasetDict({"train": train.select([int(i) for i in keep])})
+    skewed.save_to_disk(str(tmp_path / "skewed"))
+    monkeypatch.setenv("AUDIOSSL_HF_DATA_DIR", str(tmp_path / "skewed"))
+
+    def loader():
+        return HFLoader(
+            "speech_commands_v2", "train", batch_size=4, clip_samples=2000,
+            drop_last=True, seed=7, balanced=True,
+        )
+
+    counts = np.zeros(2)
+    for ep in range(60):
+        for _, lab in loader().epoch(ep):
+            counts += np.bincount(lab, minlength=2)[:2]
+    frac_1 = counts[1] / counts.sum()
+    assert 0.40 < frac_1 < 0.60, frac_1  # unbalanced would sit at ~0.25
+
+    a = [l.tolist() for _, l in loader().epoch(3)]
+    assert a == [l.tolist() for _, l in loader().epoch(3)]  # seeded draw
+    assert a != [l.tolist() for _, l in loader().epoch(4)]  # fresh per epoch
+
+
 def test_hf_build_loaders_tolerates_missing_validation(tmp_path):
     """Offline dataset without a validation split: probe logs and proceeds."""
     import datasets
