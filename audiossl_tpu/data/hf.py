@@ -37,6 +37,7 @@ class HFLoader:
         seed: int = 0,
         data_dir: str | None = None,
         balanced: bool = False,
+        host_shard: tuple[int, int] | None = None,  # (process_index, process_count)
     ):
         version = HF_TASKS[task]
         data_dir = data_dir or os.environ.get("AUDIOSSL_HF_DATA_DIR")
@@ -67,6 +68,11 @@ class HFLoader:
         # HF-hosted tasks, whose speech_commands splits are long-tailed
         # (_silence_ is ~10x rarer than the word classes).
         self.balanced = balanced
+        # Multi-host pods: every host draws the SAME global order (identical
+        # seed — balanced draw included), then takes a rank-strided slice, so
+        # batches never duplicate across hosts (ManifestLoader's shared-draw
+        # + host-slice contract, data/pipeline.py:_host_slice).
+        self.host_shard = host_shard
         if balanced:
             labels = np.asarray(self.dataset["label"], np.int64)
             counts = np.bincount(labels, minlength=self.no_of_classes)
@@ -79,7 +85,18 @@ class HFLoader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        if self.host_shard is not None:
+            n = -(-n // self.host_shard[1])  # padded per-host sample count
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _host_slice(self, order: np.ndarray) -> np.ndarray:
+        """Rank-strided slice of the (identically seeded) global order,
+        wrapped to equal length per host like DistributedSampler's padding."""
+        index, count = self.host_shard
+        total = -(-len(order) // count) * count
+        if total > len(order):
+            order = np.concatenate([order, order[: total - len(order)]])
+        return order[index::count]
 
     def epoch(self, epoch: int = 0):
         if self.balanced:
@@ -92,7 +109,13 @@ class HFLoader:
             order = np.arange(len(self.dataset))
             if self.shuffle:
                 np.random.default_rng(self.seed + epoch).shuffle(order)
-        rng = np.random.default_rng((self.seed, epoch))
+        if self.host_shard is not None:
+            order = self._host_slice(order)
+        # rank mixed into window-crop seeds only when host-sharded, so
+        # single-host streams stay bit-identical to pre-pod checkpoints
+        # (same discipline as ManifestLoader.epoch)
+        host_key = [self.host_shard[0]] if self.host_shard else []
+        rng = np.random.default_rng((self.seed, epoch, *host_key))
         for b in range(len(self)):
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
             waves, labels = [], []

@@ -210,7 +210,9 @@ def run_downstream(config: dict[str, Any], args: dict[str, Any]):
         )
     else:
         tx = optax.adam(lr)
-    opt_state = tx.init(params)
+    # opt_state init happens per-branch below: the tp>1 path inits under jit
+    # with sharding propagation; eager per-leaf init of transformer Adam
+    # moments through a remote-device tunnel is minutes of round trips.
 
     def _loss_grads(params, batch_stats, lms, labels, key):
         def loss_fn(p):
@@ -273,6 +275,7 @@ def run_downstream(config: dict[str, Any], args: dict[str, Any]):
             eval_fn, in_shardings=(p_sh, repl, batch_sh), out_shardings=batch_sh
         )
     else:
+        opt_state = jax.jit(tx.init)(params)
 
         def train_step_dp(params, batch_stats, opt_state, waves, labels, key):
             lms = jnp.transpose(log_mel(waves, mel_cfg)[:, :, :, None], (0, 1, 2, 3))

@@ -29,6 +29,8 @@ def mast_config(
     tstride: int = 10,
     compute_dtype=None,
     droppath_rate: float | None = None,
+    fused_attention: str = "auto",
+    pool_impl: str = "conv",
 ) -> MViTConfig:
     kw: dict = dict(
         patch_kernel=(16, 16),
@@ -37,6 +39,8 @@ def mast_config(
         use_abs_pos=False,
         cls_embed_on=False,
         compute_dtype=compute_dtype,
+        fused_attention=fused_attention,
+        pool_impl=pool_impl,
     )
     # MVIT.DROPPATH_RATE override (the reference's per-size yaml knob,
     # extras/mast_new/mast/configs/MVITv2_*.yaml); None keeps the variant
@@ -59,6 +63,12 @@ class MASTEncoder(nn.Module):
     # f32 softmax, f32 output); set None for exact-f32
     compute_dtype: jnp.dtype | None = jnp.bfloat16
     droppath_rate: float | None = None  # None = variant default
+    # "auto" | "on" | "off" for the fused Pallas rel-pos attention kernel;
+    # GSPMD tensor parallelism requires "off" (parallel/tp_mvit.py)
+    fused_attention: str = "auto"
+    # "conv" | "unrolled" AttentionPool impl; tp requires "unrolled"
+    # (grouped-conv filter-grad SPMD hazard, models/mvit.py)
+    pool_impl: str = "conv"
     # PatchDrop (augmentations.py:64-79) is commented out of the reference MAST
     # forward (mast.py:208-217) — and token dropping is incompatible with
     # MViT's grid-structured pooled attention — so it is not wired in here;
@@ -74,6 +84,8 @@ class MASTEncoder(nn.Module):
             self.tstride,
             self.compute_dtype,
             droppath_rate=self.droppath_rate,
+            fused_attention=self.fused_attention,
+            pool_impl=self.pool_impl,
         )
         tokens = MViT(
             cfg,
@@ -96,6 +108,8 @@ class MASTWithHead(nn.Module):
     remat: bool = False  # per-block activation checkpointing for big batches
     compute_dtype: jnp.dtype | None = jnp.bfloat16  # None = exact f32 trunk
     droppath_rate: float | None = None  # None = variant default
+    fused_attention: str = "auto"  # "off" required under tensor parallelism
+    pool_impl: str = "conv"  # "unrolled" required under tensor parallelism
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -106,6 +120,8 @@ class MASTWithHead(nn.Module):
             remat=self.remat,
             compute_dtype=self.compute_dtype,
             droppath_rate=self.droppath_rate,
+            fused_attention=self.fused_attention,
+            pool_impl=self.pool_impl,
             name="mast",
         )(x, train)
         return nn.Dense(self.output_dim, name="mlp_fc1", dtype=z.dtype)(z)

@@ -70,6 +70,13 @@ class MViTConfig:
     # TPU and the XLA einsum path elsewhere; "on" forces it (interpret mode
     # off-TPU — slow, for tests); "off" keeps the XLA path everywhere.
     fused_attention: str = "auto"
+    # AttentionPool implementation: "conv" (XLA grouped conv — fastest
+    # measured on v5e) | "unrolled" (shift-multiply-add, REQUIRED under
+    # GSPMD tensor parallelism: the SPMD partitioner mis-scales grouped-conv
+    # filter gradients by the model-axis size when the conv input descends
+    # from a model-sharded matmul; see parallel/tp_mvit.py). Both read the
+    # same pool_*/Conv_0/kernel parameter — checkpoints interchange.
+    pool_impl: str = "conv"
 
     @staticmethod
     def _variant(depth: int, droppath: float, stage_blocks: tuple[int, ...], kw) -> "MViTConfig":
@@ -154,18 +161,58 @@ def _rel_dist_index(q_size: int, k_size: int) -> np.ndarray:
     return dist.astype(np.int64)
 
 
+class _UnrolledDepthwise(nn.Module):
+    """Depthwise conv as an explicit shift-multiply-add over kernel taps.
+
+    Same math and the SAME parameter (``kernel`` of shape [kh, kw, 1, C],
+    matching nn.Conv's depthwise HWIO layout) as the grouped-conv path, so
+    checkpoints interchange. Exists because the XLA SPMD partitioner
+    mis-scales grouped-conv FILTER gradients by the model-axis size when
+    the conv input descends from a model-sharded matmul (reproduced on
+    jax 0.9 CPU; parallel/tp_mvit.py) — plain slices and multiplies have
+    no such hazard. Measured slower than the native grouped-conv lowering
+    on v5e (PERF.md), so it is opt-in via MViTConfig.pool_impl.
+    """
+
+    kernel_hw: tuple[int, int]
+    stride: tuple[int, int]
+    pad: tuple[int, int]
+
+    @nn.compact
+    def __call__(self, t: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_hw
+        c = t.shape[-1]
+        # param stays f32 (nn.Conv's param_dtype default); compute in t's dtype
+        w = self.param("kernel", nn.initializers.lecun_normal(), (kh, kw, 1, c)).astype(t.dtype)
+        s0, s1 = self.stride
+        p0, p1 = self.pad
+        tpad = jnp.pad(t, ((0, 0), (p0, p0), (p1, p1), (0, 0)))
+        out_h = (t.shape[1] + 2 * p0 - kh) // s0 + 1
+        out_w = (t.shape[2] + 2 * p1 - kw) // s1 + 1
+        out = jnp.zeros((t.shape[0], out_h, out_w, c), t.dtype)
+        for di in range(kh):
+            for dj in range(kw):
+                tap = tpad[:, di : di + s0 * out_h : s0, dj : dj + s1 * out_w : s1, :]
+                out = out + tap * w[di, dj, 0]
+        return out
+
+
 class AttentionPool(nn.Module):
     """Depthwise conv pool over the token grid (attention_pool + conv mode).
 
-    Kept as XLA's grouped conv: an unrolled shift-multiply-add rewrite was
-    measured *slower* on v5e (s0 block fwd 14.9 -> 19.0 ms) — the strided
-    slices defeat the fusion that the native lowering gets.
+    Default impl is XLA's grouped conv: an unrolled shift-multiply-add
+    rewrite was measured *slower* on v5e (s0 block fwd 14.9 -> 19.0 ms) —
+    the strided slices defeat the fusion that the native lowering gets.
+    ``impl="unrolled"`` switches to it anyway (same param layout) where the
+    grouped conv is unusable: under GSPMD tensor parallelism its filter
+    gradient is mis-scaled by the SPMD partitioner (_UnrolledDepthwise).
     """
 
     dim_per_head: int
     kernel: tuple[int, int]
     stride: tuple[int, int]
     dtype: Any = None  # compute dtype; None = follow the input (f32 path)
+    impl: str = "conv"  # "conv" | "unrolled" (MViTConfig.pool_impl)
 
     @nn.compact
     def __call__(self, x: jax.Array, hw: tuple[int, int]):
@@ -174,15 +221,20 @@ class AttentionPool(nn.Module):
         hh, ww = hw
         pad = tuple(k // 2 for k in self.kernel)
         t = x.reshape(b * h, hh, ww, c)
-        t = nn.Conv(
-            c,
-            self.kernel,
-            strides=self.stride,
-            padding=[(pad[0], pad[0]), (pad[1], pad[1])],
-            feature_group_count=c,
-            use_bias=False,
-            dtype=self.dtype or t.dtype,
-        )(t)
+        if self.impl == "unrolled":
+            t = _UnrolledDepthwise(
+                kernel_hw=self.kernel, stride=self.stride, pad=pad, name="Conv_0"
+            )(t.astype(self.dtype) if self.dtype else t)
+        else:
+            t = nn.Conv(
+                c,
+                self.kernel,
+                strides=self.stride,
+                padding=[(pad[0], pad[0]), (pad[1], pad[1])],
+                feature_group_count=c,
+                use_bias=False,
+                dtype=self.dtype or t.dtype,
+            )(t)
         new_hw = (t.shape[1], t.shape[2])
         t = t.reshape(b, h, new_hw[0] * new_hw[1], c)
         t = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)(t)  # f32 stats
@@ -202,6 +254,7 @@ class MultiScaleAttention(nn.Module):
     residual_pooling: bool
     dtype: Any = None  # compute dtype (bf16 for the MXU); None = input dtype
     fused: str = "off"  # ops/attention.py kernel: "auto" | "on" | "off"
+    pool_impl: str = "conv"  # MViTConfig.pool_impl
 
     @nn.compact
     def __call__(self, x: jax.Array):
@@ -219,10 +272,10 @@ class MultiScaleAttention(nn.Module):
         hw = self.input_hw
         q_hw, k_hw = hw, hw
         if len(self.kernel_q) and int(np.prod(self.stride_q)) * int(np.prod(self.kernel_q)) > 1:
-            q, q_hw = AttentionPool(head_dim, self.kernel_q, self.stride_q, dtype=self.dtype, name="pool_q")(q, hw)
+            q, q_hw = AttentionPool(head_dim, self.kernel_q, self.stride_q, dtype=self.dtype, impl=self.pool_impl, name="pool_q")(q, hw)
         if len(self.kernel_kv) and int(np.prod(self.stride_kv)) * int(np.prod(self.kernel_kv)) > 1:
-            k, k_hw = AttentionPool(head_dim, self.kernel_kv, self.stride_kv, dtype=self.dtype, name="pool_k")(k, hw)
-            v, _ = AttentionPool(head_dim, self.kernel_kv, self.stride_kv, dtype=self.dtype, name="pool_v")(v, hw)
+            k, k_hw = AttentionPool(head_dim, self.kernel_kv, self.stride_kv, dtype=self.dtype, impl=self.pool_impl, name="pool_k")(k, hw)
+            v, _ = AttentionPool(head_dim, self.kernel_kv, self.stride_kv, dtype=self.dtype, impl=self.pool_impl, name="pool_v")(v, hw)
 
         rel = None
         if self.rel_pos_spatial:
@@ -330,6 +383,7 @@ class MultiScaleBlock(nn.Module):
     dim_mul_in_att: bool
     dtype: Any = None
     fused: str = "off"
+    pool_impl: str = "conv"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool):
@@ -354,6 +408,7 @@ class MultiScaleBlock(nn.Module):
             residual_pooling=self.residual_pooling,
             dtype=self.dtype,
             fused=self.fused,
+            pool_impl=self.pool_impl,
             name="attn",
         )(x_norm)
 
@@ -463,6 +518,7 @@ class MViT(nn.Module):
                 dim_mul_in_att=cfg.dim_mul_in_att,
                 dtype=cdt,
                 fused=cfg.fused_attention,
+                pool_impl=cfg.pool_impl,
                 name=f"block{i}",
             )(x, train)
             hw = block_out_hw(hw, pool_q[i], stride_q[i])

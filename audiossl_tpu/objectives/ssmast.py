@@ -79,6 +79,12 @@ class SSMast:
             compute_dtype=None if pre.get("compute_dtype") == "f32" else jnp.bfloat16,
             # MVIT.DROPPATH_RATE override; None keeps the variant default
             droppath_rate=pre.get("droppath_rate"),
+            # forced to "off" by the pretrain.tp wiring (GSPMD cannot
+            # partition the Pallas attention kernel, parallel/tp_mvit.py)
+            fused_attention=str(pre.get("fused_attention", "auto")),
+            # forced to "unrolled" under tp (grouped-conv filter-grad SPMD
+            # hazard, models/mvit.py:_UnrolledDepthwise)
+            pool_impl=str(pre.get("pool_impl", "conv")),
         )
 
     def init(self, key: jax.Array, sample_views):

@@ -81,16 +81,22 @@ def carries_tangent(x) -> bool:
         if t is not None
     )
     zero = getattr(_ad, "Zero", ())
-    t, depth = x, 0
-    while isinstance(t, jax.core.Tracer) and depth < 16:
-        if isinstance(t, diff_tracers):
-            if not isinstance(t.tangent, zero):
-                return True
-            t = t.primal
-        else:
-            # peel one wrapper level (BatchTracer .val, etc.)
-            t = getattr(t, "primal", None) if hasattr(t, "primal") else getattr(t, "val", None)
-        depth += 1
+    try:
+        t, depth = x, 0
+        while isinstance(t, jax.core.Tracer) and depth < 16:
+            if isinstance(t, diff_tracers):
+                if not isinstance(t.tangent, zero):
+                    return True
+                t = t.primal
+            else:
+                # peel one wrapper level (BatchTracer .val, etc.)
+                t = getattr(t, "primal", None) if hasattr(t, "primal") else getattr(t, "val", None)
+            depth += 1
+    except Exception:  # pragma: no cover - JAX tracer internals reshaped
+        # This whole walk reads private tracer attributes; if a JAX upgrade
+        # renames them, degrade to the documented ack-only behavior rather
+        # than raising inside every fused-block1 training trace.
+        return False
     return False
 
 

@@ -55,7 +55,10 @@ def make_dp_tp_mesh(data: int, model: int) -> Mesh:
 
 def _block_spec(path: tuple[str, ...], shape: tuple[int, ...], n: int, axis: str) -> P:
     """Megatron spec for one leaf inside a block{i} subtree (module docstring)."""
-    if "MultiScaleAttention_0" in path or "MultiHeadDotProductAttention_0" in path:
+    # AST's flax attention only: MViT's MultiScaleAttention (fused qkv,
+    # pooled q/kv convs, rel-pos tables) has its own spec module —
+    # parallel/tp_mvit.py — with a different (weight-sharded) layout.
+    if "MultiHeadDotProductAttention_0" in path:
         proj = path[-2]
         if proj in ("query", "key", "value"):
             heads = shape[1] if path[-1] == "kernel" else shape[0]

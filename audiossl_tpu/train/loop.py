@@ -108,12 +108,63 @@ def train_upstream(
 ):
     run = config["run"]
     pre = config["pretrain"]
-    mesh = make_mesh(int(run.get("world_size", 0)) or None)
+    # pretrain.tp: tensor-parallel MViT/MAST pretraining — every large
+    # encoder matrix (query tower, EMA key tower, Adam moments) lives 1/tp
+    # per chip over the model axis of a ('data', 'model') mesh
+    # (parallel/tp_mvit.py); the batch rides the data axis. GSPMD step
+    # (plain jit + shardings) instead of shard_map — the sanctioned
+    # exception (CLAUDE.md), same shape as downstream.tp and run.fsdp.
+    tp = int(pre.get("tp", 0) or 0)
+    if tp > 1:
+        if str((pre.get("base_encoder") or {}).get("type")) != "MAST":
+            raise ValueError(
+                "pretrain.tp requires base_encoder.type: MAST (the MViT "
+                "weight-sharding specs, parallel/tp_mvit.py); "
+                f"got {(pre.get('base_encoder') or {}).get('type')!r}"
+            )
+        if bool(run.get("zero_optimizer", False)):
+            raise ValueError(
+                "pretrain.tp is incompatible with run.zero_optimizer: the "
+                "GSPMD step already shards the moments on the model axis"
+            )
+        # GSPMD cannot partition the Pallas attention kernel; XLA attention
+        # applies per shard (parallel/tp_mvit.py docstring)
+        pre["fused_attention"] = "off"
+        # the SPMD partitioner mis-scales grouped-conv filter grads when the
+        # conv input descends from a model-sharded matmul — use the
+        # checkpoint-compatible shift-multiply-add pooling (models/mvit.py)
+        pre["pool_impl"] = "unrolled"
+        from audiossl_tpu.parallel.tp_mvit import make_dp_tp_mesh
+
+        n = int(run.get("world_size", 0)) or len(jax.devices())
+        if n % tp:
+            raise ValueError(f"{n} devices not divisible by pretrain.tp={tp}")
+        mesh = make_dp_tp_mesh(n // tp, tp)
+        n_data = n // tp  # batch shards over the data axis only
+    else:
+        mesh = make_mesh(int(run.get("world_size", 0)) or None)
+        n_data = mesh.devices.size
+    # run.fsdp: ZeRO-3-style whole-loop GSPMD sharding on the pretrain path
+    # (parallel/fsdp.py — params, grads, moments AND the MoCo queue/EMA tower
+    # shard on their largest divisible dim over the data mesh; same knob name
+    # as the supervised trainer, train/finetune_mast.py).
+    fsdp = bool(run.get("fsdp", False))
+    if fsdp:
+        if tp > 1:
+            raise ValueError("run.fsdp and pretrain.tp are mutually exclusive; pick one")
+        if bool(run.get("zero_optimizer", False)):
+            raise ValueError(
+                "run.fsdp is incompatible with run.zero_optimizer: FSDP "
+                "already shards the moments (and params/grads) over the mesh"
+            )
+        # GSPMD cannot partition the Pallas attention kernel (it never
+        # engages on MAST's pooled grids anyway — models/mvit.py auto gate)
+        pre["fused_attention"] = "off"
     n_dev = mesh.devices.size
     batch = int(run["batch_size"])
-    if batch % n_dev:
-        batch = n_dev * max(1, batch // n_dev)
-        log.warning("batch_size adjusted to %d to divide %d devices", batch, n_dev)
+    if batch % n_data:
+        batch = n_data * max(1, batch // n_data)
+        log.warning("batch_size adjusted to %d to divide %d devices", batch, n_data)
 
     # loader first: objectives like ssmast read steps_per_epoch from config
     labeled_cls = get_objective(upstream)
@@ -126,8 +177,8 @@ def train_upstream(
     # feeds batch/n_hosts clips per step (DistributedSampler semantics);
     # shard_batch assembles the global array from the per-process shards
     n_hosts = jax.process_count()
-    if batch % (n_dev * n_hosts) and n_hosts > 1:
-        batch = n_dev * n_hosts * max(1, batch // (n_dev * n_hosts))
+    if batch % (n_data * n_hosts) and n_hosts > 1:
+        batch = n_data * n_hosts * max(1, batch // (n_data * n_hosts))
         log.warning("batch_size adjusted to %d to divide %d hosts", batch, n_hosts)
     loader = ManifestLoader(
         input_csv,
@@ -175,26 +226,60 @@ def train_upstream(
         tx,
         mesh,
         jax.random.key(seed),
-        local_batch=batch // n_dev,
+        local_batch=batch // n_data,
         clip_samples=clip,
         normalization=pre.get("normalization", "mean_var"),
         labeled=labeled,
         zero=zero,
     )
+    state_sh = None
+    if tp > 1:
+        from audiossl_tpu.train.step import tp_state_shardings
+
+        state_sh = tp_state_shardings(state, mesh)
+    elif fsdp:
+        from audiossl_tpu.parallel.fsdp import tree_shardings
+
+        state_sh = tree_shardings(state, mesh)
+    if state_sh is not None:
+        if jax.tree.leaves(state.aug_state):
+            raise ValueError(
+                ("pretrain.tp" if tp > 1 else "run.fsdp")
+                + " requires stateless augmentation (normalization: "
+                "precomputed/l2 and no mixup/Kmix memory bank): the ring-bank "
+                "and RunningNorm state are shaped for the shard_map step"
+            )
+        # re-place the (replicated) state into its sharded layout; from here
+        # on the big matrices never exist whole on any one chip
+        state = jax.device_put(state, state_sh)
     if load_checkpoint:
         state = ckpt.restore_checkpoint(load_checkpoint, state)
         log.info("resumed from %s at step %d", load_checkpoint, int(state.step))
 
-    step_fn = make_train_step(
-        objective,
-        pipeline,
-        mel_cfg,
-        tx,
-        mesh,
-        normalization=pre.get("normalization", "mean_var"),
-        labeled=labeled,
-        zero=zero,
-    )
+    if state_sh is not None:
+        from audiossl_tpu.train.step import make_train_step_gspmd
+
+        step_fn = make_train_step_gspmd(
+            objective,
+            pipeline,
+            mel_cfg,
+            tx,
+            mesh,
+            state_sh,
+            normalization=pre.get("normalization", "mean_var"),
+            labeled=labeled,
+        )
+    else:
+        step_fn = make_train_step(
+            objective,
+            pipeline,
+            mel_cfg,
+            tx,
+            mesh,
+            normalization=pre.get("normalization", "mean_var"),
+            labeled=labeled,
+            zero=zero,
+        )
 
     save_path = run.get("save_path", "./runs/" + upstream)
     ckpt_dir = save_path + "_chkp"

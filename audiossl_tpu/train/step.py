@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax import shard_map
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from audiossl_tpu.data.augment import AugmentPipeline
 from audiossl_tpu.frontend import FrontendSpec
@@ -171,6 +171,115 @@ def make_train_step(
         return train_step(state, waves, None)
 
     # expose the underlying jit for AOT lowering / cost analysis (bench MFU)
+    unlabeled_step.jitted = train_step
+    return unlabeled_step
+
+
+def tp_state_shardings(state: TrainState, mesh: Mesh) -> TrainState:
+    """TrainState-shaped pytree of NamedShardings for a tensor-parallel run.
+
+    `parallel/tp_mvit.py:mvit_tp_specs` keys purely on tree paths, so one
+    walk covers params, the EMA key tower inside the MoCo ssl_state, AND the
+    Adam moments (whose trees mirror the param structure): every leaf under
+    a ``block{i}`` component gets its Megatron spec, everything else
+    (queue, counters, rng, scalars) is replicated over the whole mesh.
+    """
+    from audiossl_tpu.parallel.tp_mvit import mvit_tp_shardings
+
+    return mvit_tp_shardings(state, mesh)
+
+
+def make_train_step_gspmd(
+    objective: Any,
+    pipeline: AugmentPipeline,
+    mel_cfg: LogMelConfig,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    state_sh: TrainState,
+    normalization: str = "precomputed",
+    labeled: bool = False,
+) -> Callable[[TrainState, jax.Array], tuple[TrainState, dict]]:
+    """GSPMD train step: plain ``jax.jit`` + explicit state shardings.
+
+    The sanctioned exception to the shard_map invariant (CLAUDE.md), shared
+    by both whole-loop sharding strategies on the pretrain path:
+
+    * ``pretrain.tp`` — ``state_sh = tp_state_shardings(state, mesh)`` over
+      a ('data', 'model') mesh: every large encoder matrix in the query
+      tower, the EMA key tower, and the Adam moments lives 1/tp per chip on
+      the model axis (parallel/tp_mvit.py) while the batch rides data.
+    * ``pretrain.fsdp`` — ``parallel.fsdp.tree_shardings(state, mesh)`` over
+      the data mesh: params/grads/moments (and the MoCo queue) shard on
+      their largest divisible dim; XLA inserts per-use all-gathers and grad
+      reduce-scatters (ZeRO-3 semantics, parallel/fsdp.py).
+
+    Under GSPMD the batch is ONE logical array, so the objective runs with
+    ``axis_name=None``: per-sample means are already global means and MoCo
+    queue enqueues already see every chip's keys — adding pmean/psum would
+    double-count (parallel/fsdp.py's loss-function contract).
+
+    Requires stateless augmentation (the mixup ring bank and RunningNorm
+    carry shard-local state shaped for the shard_map step); the loop
+    enforces that before calling. RNG differs benignly from the shard_map
+    path: one global key per step instead of per-device fold_in — same
+    distribution, different draws.
+
+    ``state_sh`` is a TrainState-shaped pytree of NamedShardings; pass the
+    actual initial state through ``jax.device_put(state, state_sh)`` before
+    stepping.
+    """
+    mel_cfg = as_frontend(mel_cfg)
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def step_fn(state: TrainState, waves: jax.Array, labels: jax.Array | None):
+        key = jax.random.fold_in(state.rng, state.step)
+        k_aug, k_loss = jax.random.split(key)
+        aug_state, v1, v2 = prepare_views(
+            pipeline, mel_cfg, normalization, _local(state.aug_state), waves, k_aug
+        )
+        views = (v1, v2) if labels is None else (v1, v2, labels)
+        vg = getattr(objective, "value_and_grad", None)
+        if vg is not None:
+            (loss, aux), grads = vg(
+                state.params, state.batch_stats, state.ssl_state, views, k_loss, True, None
+            )
+        else:
+
+            def loss_fn(params):
+                return objective.loss(
+                    params, state.batch_stats, state.ssl_state, views, k_loss, True, None
+                )
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        # pin grads to the param layout so the Adam update (and its moments)
+        # runs on 1/tp-sized shards per chip
+        grads = jax.lax.with_sharding_constraint(grads, state_sh.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            batch_stats=aux.batch_stats,
+            ssl_state=aux.ssl_state,
+            aug_state=_global(aug_state),
+            rng=state.rng,
+        )
+        return new_state, aux.metrics
+
+    train_step = jax.jit(
+        step_fn,
+        in_shardings=(state_sh, batch_sh, batch_sh if labeled else None),
+        out_shardings=(state_sh, repl),
+        donate_argnums=(0,),
+    )
+    if labeled:
+        return train_step
+
+    def unlabeled_step(state: TrainState, waves: jax.Array, labels=None):
+        return train_step(state, waves, None)
+
     unlabeled_step.jitted = train_step
     return unlabeled_step
 

@@ -41,6 +41,7 @@ SLOW_MODULES = {
     "test_preemption",  # two e2e delores_s runs + multi-second SIGTERM waits
     "test_kmix_e2e",  # three pretrain compiles + a clustering pass
     "test_fullstack_parity",  # both frameworks' full pipelines, 24 steps each
+    "test_fbank_composition_parity",  # reference AudiosetDataset + two tiny-MViT pretrains
 }
 
 

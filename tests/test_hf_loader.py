@@ -113,6 +113,40 @@ def test_hf_loader_balanced_rebalances_skewed_split(tmp_path, monkeypatch):
     assert a != [l.tolist() for _, l in loader().epoch(4)]  # fresh per epoch
 
 
+def test_hf_loader_host_shard_partitions_epoch():
+    """HFLoader(host_shard=...): ManifestLoader's shared-draw + rank-strided
+    slice on the HF path (ADVICE r4) — per-host epochs are equal-length,
+    disjoint up to DistributedSampler-style wrap padding, and together cover
+    the dataset; the balanced draw shards identically because every rank
+    draws the same weighted order before slicing."""
+    from audiossl_tpu.data.hf import HFLoader
+
+    def epoch_indices(rank, count, balanced=False):
+        loader = HFLoader(
+            "speech_commands_v2", "train", batch_size=4, clip_samples=2000,
+            shuffle=True, seed=7, host_shard=(rank, count), balanced=balanced,
+        )
+        labs = [lab for _, lab in loader.epoch(0)]
+        return loader, np.concatenate(labs)
+
+    l0, labs0 = epoch_indices(0, 2)
+    l1, labs1 = epoch_indices(1, 2)
+    assert len(l0) == len(l1) == 72 // 2 // 4  # equal per-host batch counts
+    assert len(labs0) == len(labs1) == 36
+    # both hosts together see every sample exactly once (72 is even: no pad)
+    full = HFLoader("speech_commands_v2", "train", batch_size=4, clip_samples=2000,
+                    shuffle=True, seed=7)
+    all_labels = np.concatenate([lab for _, lab in full.epoch(0)])
+    assert sorted(np.concatenate([labs0, labs1])) == sorted(all_labels)
+    # interleaved slices of the SAME seeded permutation
+    np.testing.assert_array_equal(labs0, all_labels[0::2])
+    np.testing.assert_array_equal(labs1, all_labels[1::2])
+    # balanced path slices the same shared weighted draw
+    _, b0 = epoch_indices(0, 2, balanced=True)
+    _, b1 = epoch_indices(1, 2, balanced=True)
+    assert len(b0) == len(b1) == 36
+
+
 def test_hf_build_loaders_tolerates_missing_validation(tmp_path):
     """Offline dataset without a validation split: probe logs and proceeds."""
     import datasets
