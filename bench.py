@@ -252,6 +252,63 @@ def measure_ssmast_step(batch: int = 64, iters: int = 10, repeats: int = 3) -> d
     return out
 
 
+def measure_serve(batch: int = 256, iters: int = 30, repeats: int = 3) -> dict:
+    """Serving throughput of the exported NATIVE artifact (waveform ->
+    Pallas ct2 log-mel -> AudioNTT-2048 -> pooled embedding, weights baked
+    in), measured from a cold serialize->deserialize exactly like PERF.md's
+    99.4k number — driver-visible so the serving claim carries a
+    BENCH_r{N}.json trail (VERDICT r4 Next #8). Falls back to the portable
+    artifact off-TPU. Scalarizes on device (jnp.sum) — fetching the [B, D]
+    embedding through the tunnel would time the network, not the chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiossl_tpu.downstream.model import DownstreamModel
+    from audiossl_tpu.frontend.stft import LogMelConfig
+    from audiossl_tpu.serve.export import export_embedder
+
+    mel_cfg = LogMelConfig()
+    n_frames = mel_cfg.num_frames(CLIP)
+    model = DownstreamModel(
+        n_mels=mel_cfg.n_mels, d=2048, num_classes=0, axis_name=None,
+        input_tdim=n_frames,
+    )
+    dummy = jnp.zeros((2, mel_cfg.n_mels, n_frames, 1), jnp.float32)
+    variables = jax.jit(
+        lambda k0, k1: model.init({"params": k0, "dropout": k1}, dummy, False)
+    )(jax.random.key(0), jax.random.key(1))
+    impl = "native" if jax.default_backend() == "tpu" else "portable"
+    exported = export_embedder(
+        variables, model, mel_cfg, CLIP, frontend_impl=impl, batch=batch
+    )
+    # cold deserialize (the PERF.md measurement condition)
+    import jax.export as jex
+
+    exported = jex.deserialize(bytearray(exported.serialize()))
+
+    call = jax.jit(lambda w: jnp.sum(exported.call(w)))
+    rng = np.random.default_rng(3)
+    waves = jax.device_put(
+        jnp.asarray(0.3 * rng.standard_normal((batch, CLIP)), jnp.float32)
+    )
+    for _ in range(WARMUP):
+        s = call(waves)
+    float(s)
+    runs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s = call(waves)
+        float(s)
+        dt = (time.perf_counter() - t0) / iters
+        runs.append(batch / dt)
+    return {
+        "clips_per_sec": float(np.median(runs)),
+        "runs": [round(r, 1) for r in runs],
+        "frontend_impl": impl,
+    }
+
+
 def measure_cpu_baseline(n_clips: int = 16) -> float:
     """Reference-style CPU pipeline: per-clip librosa-equivalent log-mel
     (the dataloader-worker hot spot, SURVEY.md §3.1) + torch conv encoder."""
@@ -342,6 +399,15 @@ def main():
             record["ssmast_flops_per_step"] = ssmast["flops_per_step"]
     except Exception as e:  # noqa: BLE001 - keep the core record on failure
         record["ssmast_error"] = f"{type(e).__name__}: {e}"
+    # the exported-artifact serving number (PERF.md's 99.4k claim) gets a
+    # BENCH_r{N}.json trail like the trainers
+    try:
+        serve = measure_serve()
+        record["serve_clips_per_sec"] = round(serve["clips_per_sec"], 1)
+        record["serve_runs"] = serve["runs"]
+        record["serve_frontend"] = serve["frontend_impl"]
+    except Exception as e:  # noqa: BLE001
+        record["serve_error"] = f"{type(e).__name__}: {e}"
     record.update(engaged_paths())
     band_check(record)
     print(json.dumps(record))

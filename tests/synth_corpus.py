@@ -1,14 +1,23 @@
 """Synthetic labeled audio corpora for the full-pipeline parity tests.
 
 Built to land linear probes OFF the accuracy ceiling (VERDICT r4 Weak #1 /
-Next #1): every class draws its fundamental from the SAME shared set, so
-pitch carries no label information — the class lives only in a smooth
-harmonic-envelope profile, and neighbouring profiles are blended
-(``overlap``) so classes share spectral mass. Per-clip nuisance: f0 jitter,
-random-phase harmonics, 2-8 Hz amplitude modulation of random depth, level
-jitter, and white noise at a per-clip SNR drawn from ``snr_db`` — hard
-enough that a random-init AudioNTT probe sits ~0.35-0.45 on 8 classes
-(measured; chance 0.125) with room above for pretraining to matter.
+Next #1): 8 pitch classes on a geometric f0 ladder, each clip buried in
+white noise at a per-clip SNR drawn from ``snr_db`` = (-22, -15) dB —
+measured to put a random-init AudioNTT ridge probe at ~0.75 and a
+24-step-pretrained one at ~0.72 on 72 held-out items (chance 0.125), i.e.
+mid-range with real headroom in both directions. Additional per-clip
+nuisance: f0 jitter, random harmonic phase, 2-8 Hz amplitude modulation of
+random depth, level jitter.
+
+Tuning notes (round 5, recorded so nobody re-derives them): harmonic-
+envelope classes with shared fundamentals measured rand-init ~0.36-0.43 —
+too close to the floor; pitch classes above -14 dB SNR measured 1.00 —
+ceiling; the -22..-15 dB band is the knee. Short-schedule Barlow
+pretraining (24/96/192 steps, 128 clips) lands AT OR BELOW the random-init
+probe on every corpus variant measured (e.g. 192 steps: 0.625 vs 0.750) —
+a property of the objective at toy scale, not of either pipeline — which
+is why the parity tests compare the pretraining EFFECT across frameworks
+instead of asserting pretrained > random.
 """
 from __future__ import annotations
 
@@ -18,23 +27,16 @@ import numpy as np
 
 SR = 16000
 WAV_LEN = 17600  # 1.1 s: longer than the 0.95 s window -> random crops differ
-F0S = (250.0, 360.0, 520.0)  # shared across classes: pitch is not the label
+N_CLASSES = 8
+F0S = tuple(200.0 * (2000.0 / 200.0) ** (np.arange(N_CLASSES) / (N_CLASSES - 1)))
+SNR_DB = (-22.0, -15.0)  # the measured off-ceiling knee (module docstring)
 
 
-def class_profiles(n_classes: int, rng, n_harm: int = 6, overlap: float = 0.3):
-    """Smooth random harmonic-envelope profiles, neighbour-blended."""
-    base = rng.random((n_classes, n_harm)) + 0.2
-    prof = (1 - overlap) * base + overlap * np.roll(base, 1, axis=0)
-    return prof / prof.max(axis=1, keepdims=True)
-
-
-def synth_clip(profile, rng, snr_db=(0.0, 10.0), wav_len: int = WAV_LEN):
-    f0 = F0S[rng.integers(len(F0S))] * (1.0 + 0.03 * rng.standard_normal())
+def synth_clip(c: int, rng, snr_db=SNR_DB, wav_len: int = WAV_LEN):
+    f0 = F0S[c] * (1.0 + 0.03 * rng.standard_normal())
     t = np.arange(wav_len) / SR
-    w = np.zeros(wav_len)
-    for k, a in enumerate(profile):
-        if (k + 1) * f0 < SR / 2 - 500:
-            w += a * np.sin(2 * np.pi * (k + 1) * f0 * t + rng.random() * 2 * np.pi)
+    w = np.sin(2 * np.pi * f0 * t + rng.random() * 2 * np.pi)
+    w += 0.5 * np.sin(2 * np.pi * 2 * f0 * t + rng.random() * 2 * np.pi)
     am_rate = 2.0 + 6.0 * rng.random()
     am_depth = 0.3 + 0.5 * rng.random()
     w *= 1.0 - am_depth * 0.5 * (1 + np.sin(2 * np.pi * am_rate * t + rng.random() * 2 * np.pi))
@@ -52,31 +54,24 @@ def write_corpus(
     n_classes: int,
     n_per_class: int,
     seed: int,
-    profiles=None,
     wav_len: int = WAV_LEN,
-    snr_db=(0.0, 10.0),
+    snr_db=SNR_DB,
 ):
-    """Write 16-bit WAVs; returns (files, labels, profiles).
-
-    Pass the ``profiles`` returned by one call into the next so pretrain /
-    probe corpora share the class definition while drawing disjoint clips.
-    """
+    """Write 16-bit WAVs; returns (files, labels)."""
     import scipy.io.wavfile as wavfile
 
+    assert n_classes <= N_CLASSES
     os.makedirs(d, exist_ok=True)
     rng = np.random.default_rng(seed)
-    if profiles is None:
-        # profiles from their own stream so clip draws don't perturb them
-        profiles = class_profiles(n_classes, np.random.default_rng(1234))
     files, labels = [], []
     for c in range(n_classes):
         for i in range(n_per_class):
-            w = synth_clip(profiles[c], rng, snr_db=snr_db, wav_len=wav_len)
+            w = synth_clip(c, rng, snr_db=snr_db, wav_len=wav_len)
             path = os.path.join(d, f"c{c}_{i:03d}.wav")
             wavfile.write(path, SR, (w * 32767).astype(np.int16))
             files.append(path)
             labels.append(c)
-    return files, np.asarray(labels), profiles
+    return files, np.asarray(labels)
 
 
 def dual_ridge_probe(train_x, train_y, test_x, test_y, lam=1e-2):
