@@ -238,6 +238,22 @@ class TestPretrainKnob:
         )
         assert int(state2.step) == 3
 
+    def test_pretrain_tp_with_grad_accum(self, tmp_path):
+        """pretrain.tp composes with the exact grad-accumulation path
+        (objectives/ssmast.py value_and_grad scans microbatches while the
+        params stay model-sharded): one step at tp=2, accum=2."""
+        from audiossl_tpu.data.make_test_wavs import make
+        from audiossl_tpu.train.loop import train_upstream
+
+        wav_dir = make(str(tmp_path / "wavs"), n=8)
+        cfg = _tp_pretrain_cfg(tmp_path, grad_accum_steps=2)
+        state, _ = train_upstream(
+            cfg, f"{wav_dir}/pretrain.csv", "ssmast", max_steps=1, save_every=0
+        )
+        assert int(state.step) == 1
+        qk = state.params["encoder"]["mast"]["mvit"]["block0"]["attn"]["qkv"]["kernel"]
+        assert qk.addressable_shards[0].data.shape[1] == qk.shape[1] // 2
+
     def test_pretrain_fsdp_e2e(self, tmp_path):
         """run.fsdp on the PRETRAIN loop (VERDICT r4 Next #5 'works but
         unwired' cell): the SS-MAST step runs as the whole-loop GSPMD
