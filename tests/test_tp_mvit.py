@@ -237,6 +237,23 @@ class TestPretrainKnob:
             load_checkpoint=ckpt_dir, max_steps=3, save_every=0,
         )
         assert int(state2.step) == 3
+        # downstream handoff: the encoder-only checkpoint written FROM the
+        # tp-sharded state restores densely (orbax saves global arrays) and
+        # matches the sharded tower leaf-for-leaf — the upstream->downstream
+        # handoff (utils.py:199-207 equivalent) is tp-layout-agnostic.
+        # (latest checkpoint in ckpt_dir is the resumed run's step-3 save)
+        from audiossl_tpu.train import checkpoint as ckptmod
+
+        trunk = state2.params["encoder"]["mast"]
+        target = {"params": jax.tree.map(np.zeros_like, trunk), "batch_stats": {}}
+        restored = ckptmod.load_encoder(ckpt_dir, target)
+        for (path, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(trunk)[0],
+            jax.tree.leaves(restored["params"]),
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=jax.tree_util.keystr(path)
+            )
 
     def test_pretrain_tp_with_grad_accum(self, tmp_path):
         """pretrain.tp composes with the exact grad-accumulation path
