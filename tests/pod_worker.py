@@ -166,6 +166,45 @@ def main() -> None:
     assert np.isfinite(loss_fsdp)
     assert pf["w1"].addressable_shards[0].data.shape == (64, 16)  # stays sharded
 
+    # (c) MViT tensor parallelism ACROSS the process boundary (r5): the
+    # weight-sharded layout (parallel/tp_mvit.py) over a dp4 x tp2 mesh
+    # whose model-axis pairs SPAN the two hosts — forward must equal the
+    # dense single-host apply (pool_impl='unrolled' + fused off: the tp
+    # requirements)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from audiossl_tpu.models.mast import MASTEncoder
+    from audiossl_tpu.parallel.tp_mvit import make_dp_tp_mesh, mvit_tp_shardings
+
+    mast = MASTEncoder(
+        input_fdim=32, input_tdim=48, model_size="tiny",
+        compute_dtype=None, fused_attention="off", pool_impl="unrolled",
+    )
+    xm_host = np.random.default_rng(9).standard_normal((8, 32, 48, 1)).astype(np.float32)
+    vars_m = jax.jit(mast.init, static_argnums=2)(
+        {"params": jax.random.key(3)}, jnp.asarray(xm_host[:2]), False
+    )
+    # identical init on both hosts (same seed); dense reference locally
+    dense_m = np.asarray(
+        jax.jit(mast.apply, static_argnums=2)(vars_m, jnp.asarray(xm_host), False)
+    )
+    pm_host = jax.tree.map(np.asarray, vars_m["params"])
+    mesh2 = make_dp_tp_mesh(4, 2)  # rows 0-1 on host 0, rows 2-3 on host 1
+    pm_sh = mvit_tp_shardings(pm_host, mesh2)
+    pm = jax.tree.map(
+        lambda a, s: jax.make_array_from_callback(a.shape, s, lambda idx: a[idx]),
+        pm_host, pm_sh,
+    )
+    xm_global = shard_batch(mesh2, xm_host[rank * 4 : rank * 4 + 4])
+    f_mtp = jax.jit(
+        lambda p, xb: mast.apply({"params": p}, xb, False),
+        in_shardings=(pm_sh, NamedSharding(mesh2, P("data"))),
+        out_shardings=NamedSharding(mesh2, P()),  # replicated -> local fetch
+    )
+    out_mtp = np.asarray(f_mtp(pm, xm_global))
+    np.testing.assert_allclose(out_mtp, dense_m, rtol=2e-5, atol=2e-5)
+    mtp_sum = float(np.sum(out_mtp.astype(np.float64)))
+
     # preemption agreement: only rank 1 is "signalled" (self-delivered
     # SIGTERM through the real handler); should_stop() all-gathers the
     # flags so BOTH ranks agree to stop — the collective prerequisite for
@@ -187,7 +226,8 @@ def main() -> None:
     print(
         f"POD_OK rank={rank} payload="
         f"losses={losses[0]:.6f},{losses[1]:.6f};psum={psum:.6f};"
-        f"moco={moco_loss:.6f};ptr={ptr};qsum={qsum:.6f};fsdp={loss_fsdp:.6f}"
+        f"moco={moco_loss:.6f};ptr={ptr};qsum={qsum:.6f};fsdp={loss_fsdp:.6f};"
+        f"mtp={mtp_sum:.6f}"
     )
 
 
